@@ -1,0 +1,132 @@
+"""CLI entrypoint preserving the reference's surface (SURVEY.md §1 L6, [B:5]):
+
+    python -m ann3depth_tpu train --config make3d-encdec --steps 1000 ...
+    python -m ann3depth_tpu eval  --config make3d-encdec --ckpt-dir ...
+    python -m ann3depth_tpu live  --ckpt-dir ... [--camera 0 | --video f]
+    python -m ann3depth_tpu download --dataset make3d --data-dir data
+    python -m ann3depth_tpu bench --config make3d-encdec
+
+Subcommands mirror the reference's modes (train / eval / live view +
+dataset download); flags resolve onto the typed presets in config.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+
+from ann3depth_tpu import config as cfglib
+
+
+def _common_flags(p):
+    p.add_argument("--config", default="make3d-encdec",
+                   choices=sorted(cfglib.PRESETS), help="named preset [B:6-12]")
+    p.add_argument("--model", help="override model name (registry key)")
+    p.add_argument("--datasets", nargs="+", help="override dataset list")
+    p.add_argument("--data-dir", help="dataset root directory")
+    p.add_argument("--ckpt-dir", help="checkpoint directory")
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--steps", type=int)
+    p.add_argument("--learning-rate", type=float)
+    p.add_argument("--seed", type=int)
+
+
+def _resolve(args) -> cfglib.Config:
+    cfg = cfglib.get_config(args.config)
+    data, model, train = {}, {}, {}
+    if args.model: model["name"] = args.model
+    if args.datasets: data["datasets"] = tuple(args.datasets)
+    if args.data_dir: data["data_dir"] = args.data_dir
+    if args.ckpt_dir: train["ckpt_dir"] = args.ckpt_dir
+    if args.batch_size: train["batch_size"] = args.batch_size
+    if args.steps: train["steps"] = args.steps
+    if args.learning_rate: train["learning_rate"] = args.learning_rate
+    if args.seed is not None: train["seed"] = args.seed
+    if getattr(args, "resume", False): train["resume"] = True
+    if getattr(args, "augment", False): data["augment"] = True
+    for section, overrides in (("data", data), ("model", model), ("train", train)):
+        if overrides:
+            cfg = dataclasses.replace(
+                cfg, **{section: dataclasses.replace(getattr(cfg, section), **overrides)})
+    return cfg
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="ann3depth_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    pt = sub.add_parser("train", help="train a depth model")
+    _common_flags(pt)
+    pt.add_argument("--resume", action="store_true",
+                    help="continue from latest checkpoint (the reference's --cont)")
+    pt.add_argument("--augment", action="store_true")
+    pt.add_argument("--workdir", help="metrics/log directory (default: ckpt dir)")
+
+    pe = sub.add_parser("eval", help="evaluate RMSE etc. on the test split")
+    _common_flags(pe)
+    pe.add_argument("--max-batches", type=int)
+
+    pl = sub.add_parser("live", help="continuous depth view from camera/video")
+    _common_flags(pl)
+    pl.add_argument("--camera", type=int, default=0)
+    pl.add_argument("--video", help="video file instead of camera")
+    pl.add_argument("--no-display", action="store_true",
+                    help="run headless (benchmark/latency mode)")
+    pl.add_argument("--max-frames", type=int)
+
+    pd = sub.add_parser("download", help="fetch + extract datasets")
+    pd.add_argument("--dataset", required=True, choices=["make3d", "nyu"])
+    pd.add_argument("--data-dir", default="data")
+
+    pb = sub.add_parser("bench", help="run the benchmark suite")
+    _common_flags(pb)
+    return p
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    args = build_parser().parse_args(argv)
+
+    if args.mode == "train":
+        from ann3depth_tpu.train import loop
+        cfg = _resolve(args)
+        _, metrics = loop.train(cfg, workdir=args.workdir)
+        print(json.dumps({k: float(v) for k, v in metrics.items()}))
+        return 0
+
+    if args.mode == "eval":
+        from ann3depth_tpu.train import loop
+        cfg = _resolve(args)
+        metrics = loop.evaluate(cfg, max_batches=args.max_batches)
+        print(json.dumps(metrics))
+        return 0
+
+    if args.mode == "live":
+        from ann3depth_tpu.live import viewer
+        cfg = _resolve(args)
+        stats = viewer.run(cfg, camera=args.camera, video=args.video,
+                           display=not args.no_display,
+                           max_frames=args.max_frames)
+        print(json.dumps(stats))
+        return 0
+
+    if args.mode == "download":
+        from ann3depth_tpu.data import download
+        download.download(args.dataset, args.data_dir)
+        return 0
+
+    if args.mode == "bench":
+        from benchmarks import bench_train
+        cfg = _resolve(args)
+        print(json.dumps(bench_train.run(cfg)))
+        return 0
+
+    raise AssertionError(args.mode)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,95 @@
+"""Single home for every reference-derived constant (SURVEY.md §7.3 item 5).
+
+The reference tree was unreadable this session (SURVEY.md §0), so each value
+below is either fixed by BASELINE.json (tagged [B:line]) or a documented,
+flagged choice to be corrected in one place once the reference is readable.
+Nothing outside this module may hard-code a reference behavior constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# ---------------------------------------------------------------------------
+# Canonical tensor shapes.  [B:7,8]: 320x240 RGB input, 160x120 depth target.
+# Layout convention everywhere: NHWC, H=rows, W=cols.
+# ---------------------------------------------------------------------------
+INPUT_H = 240
+INPUT_W = 320
+TARGET_H = 120
+TARGET_W = 160
+
+# Live path frame size [B:10]: 640x480 @ 30 fps webcam frames.
+LIVE_FRAME_H = 480
+LIVE_FRAME_W = 640
+
+# Make3D laser depth grid is 55 (w) x 305 (h) — stored transposed in the
+# original .mat files relative to the 2272x1704 images. SURVEY.md §7.3 item 4.
+MAKE3D_DEPTH_H = 305
+MAKE3D_DEPTH_W = 55
+MAKE3D_IMAGE_H = 2272
+MAKE3D_IMAGE_W = 1704
+
+# NYU Depth v2 native frame size.
+NYU_H = 480
+NYU_W = 640
+
+# DPT stretch config [B:11].
+DPT_RES = 384
+
+# ---------------------------------------------------------------------------
+# Normalization. FLAGGED CHOICE (reference constants unreadable): scale uint8
+# to [0,1] then standardize per-channel with these constants. The values are
+# ImageNet statistics, the conventional default for RGB depth-estimation
+# inputs; swap here if the reference used plain x/255 or dataset-specific
+# statistics.
+# ---------------------------------------------------------------------------
+RGB_MEAN = (0.485, 0.456, 0.406)
+RGB_STD = (0.229, 0.224, 0.225)
+
+# Depth handling: depths are metric (meters). Make3D laser saturates around
+# 81 m; the conventional cap (Saxena et al. 2009) is 70 m with far pixels
+# masked. FLAGGED CHOICE.
+MAKE3D_DEPTH_CAP = 70.0
+DEPTH_EPS = 1e-6  # numerical floor before log()
+
+# ---------------------------------------------------------------------------
+# Loss. [B:5]: scale-invariant log-depth loss, Eigen et al. 2014 form:
+#   d_i = log(pred_i) - log(gt_i)
+#   L   = mean(d^2) - lambda * mean(d)^2
+# with lambda = 0.5 (the value used in the Eigen paper's main results).
+# ---------------------------------------------------------------------------
+SI_LOSS_LAMBDA = 0.5
+
+# ---------------------------------------------------------------------------
+# Optimizer. FLAGGED CHOICE [K-low in SURVEY §2.1]: Adam with these defaults.
+# ---------------------------------------------------------------------------
+DEFAULT_LEARNING_RATE = 1e-4
+DEFAULT_ADAM_B1 = 0.9
+DEFAULT_ADAM_B2 = 0.999
+
+# ---------------------------------------------------------------------------
+# Bilinear resize semantics. TF1 resize_bilinear(align_corners=False) is
+# `jax.image.resize(method="bilinear")` with half-pixel centers — this is the
+# classic pixel-parity trap (SURVEY §7.3 item 3). We standardize on
+# half-pixel (align_corners=False) everywhere; flip this flag once the
+# reference's call is readable.
+# ---------------------------------------------------------------------------
+RESIZE_ALIGN_CORNERS = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ReferenceSpec:
+    """Bundled view of the constants for code that wants one object."""
+
+    input_h: int = INPUT_H
+    input_w: int = INPUT_W
+    target_h: int = TARGET_H
+    target_w: int = TARGET_W
+    rgb_mean: tuple = RGB_MEAN
+    rgb_std: tuple = RGB_STD
+    si_loss_lambda: float = SI_LOSS_LAMBDA
+    depth_cap: float = MAKE3D_DEPTH_CAP
+
+
+SPEC = ReferenceSpec()

@@ -1,0 +1,124 @@
+"""Typed configs + named presets mirroring BASELINE.json configs [B:6-12].
+
+The reference drove everything from argparse flags (SURVEY.md §5 "Config /
+flag system"); here each CLI invocation resolves to one frozen dataclass so
+jitted code closes over static values only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from ann3depth_tpu.compat import reference_spec as ref
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    datasets: Tuple[str, ...] = ("make3d",)  # make3d | nyu | synthetic
+    data_dir: str = "data"
+    input_hw: Tuple[int, int] = (ref.INPUT_H, ref.INPUT_W)
+    target_hw: Tuple[int, int] = (ref.TARGET_H, ref.TARGET_W)
+    augment: bool = False          # flip/crop/jitter (fused on device) [B:9]
+    shuffle_buffer: int = 512
+    prefetch: int = 2              # depth of the double-buffered device feed
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str = "encdec"           # registry key (models/registry.py)
+    compute_dtype: str = "bfloat16"  # MXU-native compute; params stay f32
+    width_mult: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 16
+    steps: int = 1000
+    learning_rate: float = ref.DEFAULT_LEARNING_RATE
+    warmup_steps: int = 100
+    checkpoint_every: int = 500
+    log_every: int = 50
+    eval_every: int = 500
+    ckpt_dir: str = "checkpoints"
+    resume: bool = False
+    seed: int = 0
+    si_lambda: float = ref.SI_LOSS_LAMBDA
+    remat: bool = False            # jax.checkpoint the encoder to save HBM
+    data_axis: str = "data"        # mesh axis name for DP sharding
+
+
+@dataclasses.dataclass(frozen=True)
+class LiveConfig:
+    frame_hw: Tuple[int, int] = (ref.LIVE_FRAME_H, ref.LIVE_FRAME_W)
+    target_fps: int = 30
+    ring_capacity: int = 8
+    camera_index: int = 0
+    micro_batch: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    live: LiveConfig = dataclasses.field(default_factory=LiveConfig)
+
+
+def _cfg(**kw) -> Config:
+    out = Config()
+    for section, overrides in kw.items():
+        out = dataclasses.replace(
+            out, **{section: dataclasses.replace(getattr(out, section), **overrides)}
+        )
+    return out
+
+
+# Named presets, one per BASELINE.json config line [B:7-11].
+PRESETS = {
+    # [B:7] Make3D: single 320x240 image -> 3-conv downsample net, batch=1.
+    "make3d-small": _cfg(
+        data={"datasets": ("make3d",)},
+        model={"name": "small", "compute_dtype": "float32"},
+        train={"batch_size": 1, "steps": 100},
+    ),
+    # [B:8] Make3D: full encoder-decoder train, 320x240 in / 160x120 out, b16.
+    "make3d-encdec": _cfg(
+        data={"datasets": ("make3d",)},
+        model={"name": "encdec"},
+        train={"batch_size": 16},
+    ),
+    # [B:9] NYU Depth v2: encoder-decoder + fused flip/crop/jitter pipeline.
+    "nyu-encdec-aug": _cfg(
+        data={"datasets": ("nyu",), "augment": True},
+        model={"name": "encdec"},
+        train={"batch_size": 16},
+    ),
+    # [B:10] Live stream config (model served at 320x240 from 640x480 frames).
+    "live": _cfg(
+        model={"name": "encdec"},
+    ),
+    # [B:11] DPT-style ViT depth model at 384x384 (stretch).
+    "dpt-384": _cfg(
+        data={
+            "datasets": ("nyu",),
+            "input_hw": (ref.DPT_RES, ref.DPT_RES),
+            "target_hw": (ref.DPT_RES, ref.DPT_RES),
+        },
+        model={"name": "dpt"},
+        train={"batch_size": 8, "remat": True},
+    ),
+    # Test/smoke preset: synthetic data, tiny everything.
+    "smoke": _cfg(
+        data={"datasets": ("synthetic",)},
+        model={"name": "small", "compute_dtype": "float32"},
+        train={"batch_size": 2, "steps": 10, "log_every": 5, "checkpoint_every": 5},
+    ),
+}
+
+
+def get_config(name: str) -> Config:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(f"unknown config preset {name!r}; have {sorted(PRESETS)}")

@@ -1,0 +1,74 @@
+"""Model registry: name -> constructor (SURVEY.md §2.1 "Model registry").
+
+The reference selected architectures by name from the CLI; this preserves
+that surface. All models share one contract:
+
+    model(x: [B,H,W,3] normalized f32) -> [B,h,w,1] log-depth f32
+
+with `h, w = model_cls.output_hw((H, W))`. Predicting *log*-depth keeps the
+scale-invariant loss polynomial in the network output (train/losses.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ann3depth_tpu.config import ModelConfig
+
+_REGISTRY = {}
+
+
+def register(name):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def available():
+    return sorted(_REGISTRY)
+
+
+def build(cfg: ModelConfig):
+    """Instantiate the Flax module for a ModelConfig."""
+    try:
+        ctor = _REGISTRY[cfg.name]
+    except KeyError:
+        raise KeyError(f"unknown model {cfg.name!r}; have {available()}")
+    return ctor(cfg)
+
+
+def _dtype(cfg: ModelConfig):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+
+
+@register("small")
+def _small(cfg: ModelConfig):
+    from ann3depth_tpu.models.small_depth import SmallDepthNet
+    return SmallDepthNet(width_mult=cfg.width_mult, compute_dtype=_dtype(cfg))
+
+
+@register("encdec")
+def _encdec(cfg: ModelConfig):
+    from ann3depth_tpu.models.encdec import EncDecDepthNet
+    return EncDecDepthNet(width_mult=cfg.width_mult, compute_dtype=_dtype(cfg))
+
+
+@register("dpt")
+def _dpt(cfg: ModelConfig):
+    from ann3depth_tpu.models.dpt import DPTDepthNet
+    return DPTDepthNet(compute_dtype=_dtype(cfg))
+
+
+def output_hw(name: str, input_hw):
+    """Static output shape for a registered model at a given input size."""
+    if name == "small":
+        from ann3depth_tpu.models.small_depth import SmallDepthNet
+        return SmallDepthNet.output_hw(input_hw)
+    if name == "encdec":
+        from ann3depth_tpu.models.encdec import EncDecDepthNet
+        return EncDecDepthNet.output_hw(input_hw)
+    if name == "dpt":
+        from ann3depth_tpu.models.dpt import DPTDepthNet
+        return DPTDepthNet.output_hw(input_hw)
+    raise KeyError(name)

@@ -1,0 +1,64 @@
+"""Device mesh + sharding specs — the DP-over-ICI layer [B:5].
+
+The reference had zero parallelism (SURVEY.md §2.3); the rebuild's binding
+spec mandates data-parallel training over ICI. Design:
+
+- 1-D mesh over all local devices, axis name "data". The axis-name space is
+  reserved so a "model" axis can be added for the DPT stretch config without
+  touching call sites (SURVEY §2.3 TP row).
+- Batches are sharded over "data" via NamedSharding; params/opt-state are
+  replicated. `jax.jit` then compiles the gradient all-reduce to an XLA
+  `psum` riding ICI — no hand-written collectives needed at CNN scale.
+- Tested on a fake 8-device CPU mesh (tests/conftest.py sets
+  `--xla_force_host_platform_device_count=8`), the standard JAX substitute
+  for multi-chip fixtures (SURVEY §4.6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Leading-dim (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place a host batch (pytree of arrays) sharded over the data axis.
+
+    Requires batch size divisible by mesh size — enforced loudly because XLA
+    would otherwise pad silently and corrupt the loss mean.
+    """
+    n = mesh.devices.size
+    sharding = batch_sharding(mesh, axis_name)
+
+    def _put(x):
+        if x.shape[0] % n:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by mesh size {n}")
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(_put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    return jax.device_put(tree, replicated(mesh))

@@ -1,0 +1,56 @@
+"""Checkpoint save/restore via orbax (SURVEY.md §5 "Checkpoint / resume").
+
+Parity surface with the reference's tf.train.Saver behavior [B:5]: periodic
+saves of params/opt-state/step, restore-latest on start when resuming.
+Async orbax saves overlap checkpoint IO with training compute.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 3):
+        self.dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True),
+        )
+
+    def save(self, step: int, state) -> None:
+        """Save params/opt_state/step (the pytree leaves of TrainState)."""
+        payload = {"step": state.step, "params": state.params,
+                   "opt_state": state.opt_state}
+        self._mgr.save(int(step), args=ocp.args.StandardSave(payload))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state):
+        """Restore latest into a template TrainState; returns (state, step).
+
+        If no checkpoint exists, returns (state, None) unchanged.
+        """
+        step = self.latest_step()
+        if step is None:
+            return state, None
+        template = {"step": state.step, "params": state.params,
+                    "opt_state": state.opt_state}
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template))
+        state = state.replace(step=restored["step"], params=restored["params"],
+                              opt_state=restored["opt_state"])
+        return state, step
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

@@ -1,0 +1,149 @@
+"""Training driver (SURVEY.md §1 L4, §3.1): the reference's train() surface.
+
+Wires config -> dataset -> mesh/sharding -> model/state -> double-buffered
+feed -> jitted step loop, with periodic metrics, eval, and async
+checkpointing + resume [B:5].
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ann3depth_tpu.config import Config
+from ann3depth_tpu.models import registry
+from ann3depth_tpu.parallel import mesh as meshlib
+from ann3depth_tpu.pipeline.feed import DeviceFeed
+from ann3depth_tpu.train import step as steplib
+from ann3depth_tpu.train.checkpoint import CheckpointManager
+from ann3depth_tpu.utils.metrics_writer import MetricsWriter
+
+log = logging.getLogger(__name__)
+
+
+def build_dataset(cfg: Config, split="train"):
+    """Dataset factory: name -> raw (uint8 rgb, f32 depth) batch source."""
+    name = cfg.data.datasets[0]
+    if name == "synthetic":
+        from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+        return SyntheticDepthDataset(seed=0 if split == "train" else 1)
+    if name == "make3d":
+        from ann3depth_tpu.data.make3d import Make3DDataset
+        return Make3DDataset(cfg.data.data_dir, split=split)
+    if name == "nyu":
+        from ann3depth_tpu.data.nyu import NYUDataset
+        return NYUDataset(cfg.data.data_dir, split=split)
+    raise KeyError(f"unknown dataset {name!r}")
+
+
+def resolved_target_hw(cfg: Config):
+    """Depth-target resolution is a function of the model's output stride
+    (e.g. encdec: 320x240 -> 160x120 [B:8]); derive it so config presets
+    can't silently mismatch the head shape."""
+    return registry.output_hw(cfg.model.name, cfg.data.input_hw)
+
+
+def create_state(cfg: Config, mesh=None):
+    """Build model + optimizer + (replicated) TrainState."""
+    model = registry.build(cfg.model)
+    params = steplib.init_params(model, cfg.data.input_hw, seed=cfg.train.seed)
+    tx = steplib.make_optimizer(
+        cfg.train.learning_rate, cfg.train.warmup_steps, cfg.train.steps)
+    state = steplib.TrainState.create(model.apply, params, tx)
+    if mesh is not None:
+        state = meshlib.replicate(state, mesh)
+    return state
+
+
+def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
+          dataset=None, progress=True):
+    """Run cfg.train.steps of training; returns (state, last_metrics).
+
+    Resumable: with cfg.train.resume, restores the latest checkpoint from
+    cfg.train.ckpt_dir and continues the step counter (SURVEY §5).
+    """
+    workdir = workdir or cfg.train.ckpt_dir
+    if mesh is None:
+        mesh = meshlib.create_mesh()
+    dataset = dataset or build_dataset(cfg, "train")
+
+    state = create_state(cfg, mesh)
+    ckpt = CheckpointManager(cfg.train.ckpt_dir)
+    start_step = 0
+    if cfg.train.resume:
+        state, restored = ckpt.restore(state)
+        if restored is not None:
+            start_step = int(state.step)
+            log.info("resumed from checkpoint at step %d", start_step)
+
+    writer = MetricsWriter(workdir)
+    sharding = meshlib.batch_sharding(mesh)
+    rng = jax.random.key(cfg.train.seed)
+
+    n_steps = cfg.train.steps - start_step
+    host_iter = dataset.batches(cfg.train.batch_size, steps=n_steps,
+                                seed=cfg.train.seed + start_step)
+    feed = DeviceFeed(host_iter, sharding=sharding, prefetch=cfg.data.prefetch)
+
+    step_kwargs = dict(input_hw=cfg.data.input_hw,
+                       target_hw=resolved_target_hw(cfg),
+                       si_lambda=cfg.train.si_lambda, augment=cfg.data.augment)
+    metrics = {}
+    t0 = time.perf_counter()
+    imgs_since = 0
+    try:
+        for i, (img_u8, depth) in enumerate(feed):
+            step_no = start_step + i
+            state, metrics = steplib.train_step(
+                state, img_u8, depth, rng, **step_kwargs)
+            imgs_since += int(img_u8.shape[0])
+
+            if (step_no + 1) % cfg.train.log_every == 0 or i == n_steps - 1:
+                metrics = jax.device_get(metrics)  # sync point
+                dt = time.perf_counter() - t0
+                ips = imgs_since / dt if dt > 0 else 0.0
+                writer.write(step_no + 1, metrics, images_per_sec=ips)
+                if progress:
+                    log.info("step %d loss=%.4f rmse=%.3f %.1f img/s",
+                             step_no + 1, metrics["loss"], metrics["rmse"], ips)
+                t0, imgs_since = time.perf_counter(), 0
+
+            if (step_no + 1) % cfg.train.checkpoint_every == 0 or i == n_steps - 1:
+                ckpt.save(step_no + 1, state)
+    finally:
+        feed.close()
+        ckpt.wait()
+        ckpt.close()
+        writer.close()
+    return state, metrics
+
+
+def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
+    """Eval loop: accumulate depth metrics over the test split [B:2]."""
+    dataset = dataset or build_dataset(cfg, "test")
+    if state is None:
+        state = create_state(cfg)
+        ckpt = CheckpointManager(cfg.train.ckpt_dir)
+        state, restored = ckpt.restore(state)
+        ckpt.close()
+        if restored is None:
+            raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
+
+    totals, n = {}, 0
+    for b, (img_u8, depth) in enumerate(
+            dataset.batches(cfg.train.batch_size, steps=max_batches,
+                            shuffle=False)):
+        m = jax.device_get(steplib.eval_step(
+            state, img_u8, depth,
+            input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg)))
+        bs = img_u8.shape[0]
+        for k, v in m.items():
+            totals[k] = totals.get(k, 0.0) + float(v) * bs
+        n += bs
+        if max_batches is not None and b + 1 >= max_batches:
+            break
+    return {k: v / max(n, 1) for k, v in totals.items()}

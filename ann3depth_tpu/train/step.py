@@ -1,0 +1,127 @@
+"""Jitted train/eval steps — the per-step device work (SURVEY.md §3.3).
+
+One `train_step` = fused preprocess + forward + backward + optimizer update,
+compiled by XLA into a single TPU program per step (the reference's
+session.run equivalent, minus the host ping-pong).
+
+TPU-first choices:
+- The *whole* step, including uint8->normalized preprocess and augmentation,
+  runs on device: the host only ships raw uint8 frames (4x less H2D traffic
+  than f32).
+- Buffer donation on state: params/opt-state are updated in place in HBM.
+- DP: inputs carry a NamedSharding over the "data" mesh axis; jit's sharding
+  propagation inserts the psum gradient all-reduce over ICI [B:5]. There is
+  no pmap and no hand-written collective.
+- Loss reductions in f32 even when compute is bf16 (losses.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ann3depth_tpu.pipeline import preprocess
+from ann3depth_tpu.train import losses
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal functional train state (params + opt state + step)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx, apply_fn=apply_fn)
+
+
+def make_optimizer(learning_rate, warmup_steps=0, total_steps=None,
+                   b1=0.9, b2=0.999, weight_decay=0.0, clip_norm=1.0):
+    """AdamW with linear warmup + cosine decay; global-norm clipped."""
+    if warmup_steps and total_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
+    else:
+        sched = learning_rate
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
+def loss_fn(params, apply_fn, images, depths, si_lambda):
+    """images: [B,h,w,3] normalized f32; depths: [B,h',w'] linear meters."""
+    pred_log = apply_fn({"params": params}, images)
+    loss = losses.scale_invariant_log_loss(pred_log, depths, lam=si_lambda)
+    return loss, pred_log
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("input_hw", "target_hw", "si_lambda", "augment"),
+    donate_argnames=("state",),
+)
+def train_step(state: TrainState, img_u8, depth_raw, rng, *,
+               input_hw, target_hw, si_lambda=0.5, augment=False):
+    """One fused device step: preprocess -> fwd -> bwd -> update.
+
+    img_u8:    [B, H, W, 3] raw uint8 frames (any source size)
+    depth_raw: [B, dh, dw] raw f32 depth (any source grid)
+    rng:       PRNG key for augmentation (folded with step for determinism)
+    """
+    key = jax.random.fold_in(rng, state.step) if augment else None
+    images, depths = preprocess.preprocess_batch(
+        img_u8, depth_raw, input_hw, target_hw, key=key)
+
+    (loss, pred_log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, state.apply_fn, images, depths, si_lambda)
+
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax.global_norm(grads),
+        "rmse": losses.depth_metrics(pred_log, depths)["rmse"],
+    }
+    return state.replace(step=state.step + 1, params=new_params,
+                         opt_state=new_opt_state), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("input_hw", "target_hw"))
+def eval_step(state: TrainState, img_u8, depth_raw, *, input_hw, target_hw):
+    """Eval: preprocess -> forward -> full metric dict (no augmentation)."""
+    images, depths = preprocess.preprocess_batch(
+        img_u8, depth_raw, input_hw, target_hw, key=None)
+    pred_log = state.apply_fn({"params": state.params}, images)
+    m = losses.depth_metrics(pred_log, depths)
+    m["loss"] = losses.scale_invariant_log_loss(pred_log, depths)
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw"))
+def infer_step(apply_fn, params, img_u8, *, input_hw):
+    """Inference: raw uint8 frame(s) -> linear depth map [B,h,w]."""
+    images = preprocess.preprocess_image(img_u8, input_hw)
+    pred_log = apply_fn({"params": params}, images)
+    return jnp.exp(pred_log[..., 0])
+
+
+def init_params(model, input_hw, seed=0):
+    """Initialize params with a dummy batch (shape-only, on host is fine)."""
+    dummy = jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
+    variables = model.init(jax.random.key(seed), dummy)
+    params = variables["params"]
+    if isinstance(params, FrozenDict):
+        params = params.unfreeze()
+    return params

@@ -1,0 +1,139 @@
+"""Loader tests on tiny synthetic fixtures (SURVEY §4.1): Make3D-format
+.mat+jpg trees, NYU-format HDF5 mats, and packed record shards."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def make3d_tree(tmp_path):
+    """Fabricate a miniature Make3D on-disk tree (3 train, 2 test pairs)."""
+    import scipy.io
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    base = tmp_path / "make3d"
+    for split, n, imgdir, depdir in [
+        ("train", 3, "Train400Img", "Train400Depth"),
+        ("test", 2, "Test134", "Gridlaserdata"),
+    ]:
+        (base / imgdir).mkdir(parents=True)
+        (base / depdir).mkdir(parents=True)
+        for i in range(n):
+            sid = f"{split}scene-{i:03d}"
+            img = rng.integers(0, 256, (96, 72, 3), dtype=np.uint8)
+            Image.fromarray(img).save(base / imgdir / f"img-{sid}.jpg")
+            # Make3D stores Position3DGrid (55, 305, 4), depth in channel 3
+            grid = np.zeros((55, 305, 4), np.float32)
+            grid[..., 3] = rng.uniform(1, 70, (55, 305))
+            scipy.io.savemat(base / depdir / f"depth_sph_corr-{sid}.mat",
+                             {"Position3DGrid": grid})
+    # one unpaired image must be skipped, not crash
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        base / "Train400Img" / "img-orphan.jpg")
+    return tmp_path
+
+
+def test_make3d_loader_pairs_and_shapes(make3d_tree):
+    from ann3depth_tpu.data.make3d import Make3DDataset
+
+    ds = Make3DDataset(str(make3d_tree), split="train", raw_hw=(48, 64))
+    assert len(ds) == 3  # orphan dropped
+    img, depth = ds[0]
+    assert img.shape == (48, 64, 3) and img.dtype == np.uint8
+    assert depth.shape == (305, 55) and depth.dtype == np.float32
+    assert depth.min() >= 1.0 and depth.max() <= 70.0
+
+    ds_test = Make3DDataset(str(make3d_tree), split="test", raw_hw=(48, 64))
+    assert len(ds_test) == 2
+
+
+def test_make3d_batches(make3d_tree):
+    from ann3depth_tpu.data.make3d import Make3DDataset
+
+    ds = Make3DDataset(str(make3d_tree), split="train", raw_hw=(48, 64))
+    batches = list(ds.batches(2, steps=3, seed=1))
+    assert len(batches) == 3
+    imgs, deps = batches[0]
+    assert imgs.shape == (2, 48, 64, 3) and deps.shape == (2, 305, 55)
+
+
+def test_make3d_missing_dir_raises(tmp_path):
+    from ann3depth_tpu.data.make3d import Make3DDataset
+
+    with pytest.raises(FileNotFoundError, match="download"):
+        Make3DDataset(str(tmp_path), split="train")
+
+
+def test_make3d_depth_mat_transposed_variant(tmp_path):
+    """Test134 half stores (305,55,4); loader canonicalizes either way."""
+    import scipy.io
+    from ann3depth_tpu.data.make3d import load_depth_mat
+
+    grid = np.zeros((305, 55, 4), np.float32)
+    grid[..., 3] = 5.0
+    p = tmp_path / "d.mat"
+    scipy.io.savemat(p, {"Position3DGrid": grid})
+    d = load_depth_mat(str(p))
+    assert d.shape == (305, 55)
+
+
+@pytest.fixture()
+def nyu_mat(tmp_path):
+    import h5py
+
+    rng = np.random.default_rng(1)
+    p = tmp_path / "nyu" / "nyu_depth_v2_labeled.mat"
+    p.parent.mkdir(parents=True)
+    n, H, W = 6, 48, 64
+    with h5py.File(p, "w") as f:
+        # NYU stores (N, 3, W, H) images and (N, W, H) depths
+        f.create_dataset("images", data=rng.integers(
+            0, 256, (n, 3, W, H), dtype=np.uint8))
+        f.create_dataset("depths", data=rng.uniform(
+            0.5, 10.0, (n, W, H)).astype(np.float32))
+    return tmp_path
+
+
+def test_nyu_loader(nyu_mat):
+    from ann3depth_tpu.data.nyu import NYUDataset
+
+    tr = NYUDataset(str(nyu_mat), split="train")
+    te = NYUDataset(str(nyu_mat), split="test")
+    assert len(tr) == 3 and len(te) == 3
+    img, depth = tr[0]
+    assert img.shape == (48, 64, 3) and img.dtype == np.uint8
+    assert depth.shape == (48, 64) and depth.dtype == np.float32
+    imgs, deps = next(tr.batches(2, steps=1))
+    assert imgs.shape == (2, 48, 64, 3) and deps.shape == (2, 48, 64)
+    tr.close(); te.close()
+
+
+def test_nyu_missing_raises(tmp_path):
+    from ann3depth_tpu.data.nyu import NYUDataset
+
+    with pytest.raises(FileNotFoundError, match="download"):
+        NYUDataset(str(tmp_path))
+
+
+def test_records_pack_roundtrip(tmp_path):
+    from ann3depth_tpu.data.records import RecordDataset, pack
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+
+    src = SyntheticDepthDataset(n=10, img_hw=(24, 32), depth_hw=(12, 16))
+    index = pack(src, str(tmp_path / "rec"), "train", shard_size=4)
+    assert os.path.exists(index)
+    packed = RecordDataset(index)
+    assert len(packed) == 10
+    for i in (0, 4, 9):  # spans all three shards
+        a_img, a_dep = src[i]
+        b_img, b_dep = packed[i]
+        np.testing.assert_array_equal(a_img, b_img)
+        np.testing.assert_array_equal(a_dep, b_dep)
+    imgs, deps = next(packed.batches(3, steps=1, shuffle=False))
+    assert imgs.shape == (3, 24, 32, 3)
+    idx = json.load(open(index))
+    assert idx["total"] == 10 and len(idx["shards"]) == 3

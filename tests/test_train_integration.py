@@ -1,0 +1,84 @@
+"""Integration tests (SURVEY.md §4.4): short train runs, loss decreases,
+checkpoint round-trip + resume, eval loop."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ann3depth_tpu.config import get_config
+from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+from ann3depth_tpu.train import loop as looplib
+
+
+def _smoke_cfg(tmp_path, **train_overrides):
+    cfg = get_config("smoke")
+    train = dataclasses.replace(
+        cfg.train, ckpt_dir=str(tmp_path / "ckpt"), **train_overrides)
+    data = dataclasses.replace(cfg.data, input_hw=(48, 64), target_hw=(24, 32))
+    return dataclasses.replace(cfg, train=train, data=data)
+
+
+def test_train_loss_decreases(tmp_path):
+    cfg = _smoke_cfg(tmp_path, steps=60, batch_size=4, learning_rate=3e-3,
+                     log_every=10, checkpoint_every=1000, warmup_steps=0)
+    state, metrics = looplib.train(cfg, workdir=str(tmp_path), progress=False)
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    losses = [l["loss"] for l in lines]
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert np.isfinite(losses[-1])
+
+
+def test_checkpoint_resume_continues_step_counter(tmp_path):
+    cfg = _smoke_cfg(tmp_path, steps=10, batch_size=2, checkpoint_every=5,
+                     log_every=5, warmup_steps=0)
+    state, _ = looplib.train(cfg, workdir=str(tmp_path), progress=False)
+    assert int(state.step) == 10
+
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps=15, resume=True))
+    state2, _ = looplib.train(cfg2, workdir=str(tmp_path), progress=False)
+    assert int(state2.step) == 15
+
+
+def test_resume_reproduces_params(tmp_path):
+    """Killing the trainer and resuming must restore identical params
+    (fault-injection surface, SURVEY §5 'Failure detection')."""
+    import jax
+    cfg = _smoke_cfg(tmp_path, steps=6, batch_size=2, checkpoint_every=3,
+                     log_every=100, warmup_steps=0)
+    state, _ = looplib.train(cfg, workdir=str(tmp_path), progress=False)
+
+    # fresh process-equivalent: new state restored from disk
+    state2 = looplib.create_state(cfg)
+    from ann3depth_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(cfg.train.ckpt_dir)
+    state2, step = mgr.restore(state2)
+    mgr.close()
+    assert step == 6
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_loop_runs(tmp_path):
+    cfg = _smoke_cfg(tmp_path, steps=4, batch_size=2, checkpoint_every=4,
+                     log_every=100, warmup_steps=0)
+    state, _ = looplib.train(cfg, workdir=str(tmp_path), progress=False)
+    metrics = looplib.evaluate(cfg, state=state,
+                               dataset=SyntheticDepthDataset(n=8, seed=9),
+                               max_batches=2)
+    for k in ("rmse", "abs_rel", "delta1", "loss"):
+        assert k in metrics and np.isfinite(metrics[k])
+
+
+def test_cli_train_smoke(tmp_path, capsys):
+    from ann3depth_tpu.cli import main
+    rc = main(["train", "--config", "smoke", "--steps", "5",
+               "--batch-size", "2", "--ckpt-dir", str(tmp_path / "c"),
+               "--workdir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert "loss" in metrics
