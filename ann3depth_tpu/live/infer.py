@@ -1,0 +1,95 @@
+"""Live inference engine: fused preprocess + forward + colormap on device
+(SURVEY §3.2 rebuild plan, [B:5,10] — target <15 ms p50 per 640x480 frame).
+
+The whole per-frame device program is ONE jitted XLA computation:
+  uint8 frame -> fused resize/normalize (Pallas kernel on TPU)
+              -> encdec forward (bf16 MXU)
+              -> linear depth
+              -> turbo-colormapped uint8 RGB at display resolution
+so the host does nothing between capture and display except one H2D of the
+raw uint8 frame and one D2H of the rendered frame. Fixed shapes: compiled
+once at startup (no per-frame recompilation).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ann3depth_tpu.pipeline import preprocess
+
+# Turbo colormap, 16 anchor points interpolated to 256 entries on device.
+_TURBO_ANCHORS = np.array([
+    [48, 18, 59], [65, 69, 171], [70, 117, 237], [57, 162, 252],
+    [27, 207, 212], [36, 236, 166], [97, 252, 108], [164, 252, 59],
+    [215, 232, 36], [246, 193, 31], [252, 147, 26], [239, 93, 17],
+    [213, 51, 7], [173, 22, 2], [121, 7, 1], [122, 4, 3]], np.float32)
+
+
+def _turbo_lut():
+    xs = np.linspace(0, 15, 256)
+    i0 = np.clip(xs.astype(int), 0, 14)
+    t = (xs - i0)[:, None]
+    lut = _TURBO_ANCHORS[i0] * (1 - t) + _TURBO_ANCHORS[i0 + 1] * t
+    return jnp.asarray(lut, jnp.float32)  # [256, 3]
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw",
+                                             "display_hw", "use_pallas"))
+def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
+              use_pallas=False):
+    """[1, H, W, 3] uint8 -> (depth [1, h, w], rendered [1, Hd, Wd, 3] u8)."""
+    images = preprocess.preprocess_image(frame_u8, input_hw,
+                                         use_pallas=use_pallas)
+    pred_log = apply_fn({"params": params}, images)
+    depth = jnp.exp(pred_log[..., 0])
+
+    # normalize per-frame to [0,1] for display (log scale reads better)
+    logd = pred_log[..., 0]
+    lo = jnp.min(logd, axis=(1, 2), keepdims=True)
+    hi = jnp.max(logd, axis=(1, 2), keepdims=True)
+    norm = (logd - lo) / jnp.maximum(hi - lo, 1e-6)
+
+    # upscale to display resolution on device, then colormap via LUT gather
+    b, h, w = norm.shape
+    disp = jax.image.resize(norm, (b, *display_hw), method="bilinear")
+    idx = jnp.clip((disp * 255.0).astype(jnp.int32), 0, 255)
+    rendered = jnp.take(_turbo_lut(), idx, axis=0).astype(jnp.uint8)
+    return depth, rendered
+
+
+class LiveEngine:
+    """Premapped, precompiled per-frame inference."""
+
+    def __init__(self, apply_fn, params, frame_hw, input_hw,
+                 display_hw=None, use_pallas=None):
+        self.apply_fn = apply_fn
+        self.params = jax.device_put(params)
+        self.frame_hw = tuple(frame_hw)
+        self.input_hw = tuple(input_hw)
+        self.display_hw = tuple(display_hw or frame_hw)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = bool(use_pallas)
+        # compile once at startup with a dummy frame
+        dummy = jnp.zeros((1, *self.frame_hw, 3), jnp.uint8)
+        d, r = self._step(dummy)
+        jax.block_until_ready((d, r))
+
+    def _step(self, frame_dev):
+        return live_step(self.apply_fn, self.params, frame_dev,
+                         input_hw=self.input_hw, display_hw=self.display_hw,
+                         use_pallas=self.use_pallas)
+
+    def infer(self, frame_u8: np.ndarray):
+        """One frame -> (depth np [h,w], rendered np [Hd,Wd,3], latency_s)."""
+        t0 = time.perf_counter()
+        frame_dev = jnp.asarray(frame_u8[None])
+        depth, rendered = self._step(frame_dev)
+        rendered = np.asarray(jax.device_get(rendered))[0]
+        depth = np.asarray(jax.device_get(depth))[0]
+        return depth, rendered, time.perf_counter() - t0

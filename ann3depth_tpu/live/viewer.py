@@ -1,0 +1,107 @@
+"""Continuous live depth view (SURVEY §1 L5, §3.2; [B:10]).
+
+Capture thread -> native SPSC frame ring-buffer -> LiveEngine (fused
+preprocess+forward+colormap, one XLA program) -> display / stats.
+
+Headless mode (--no-display) runs the identical pipeline minus cv2.imshow
+and reports latency percentiles — the form used on this camera-less
+machine and by benchmarks/bench_live.py.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+
+from ann3depth_tpu.config import Config
+from ann3depth_tpu.live.capture import CaptureThread, OpenCVSource, SyntheticSource
+from ann3depth_tpu.live.infer import LiveEngine
+from ann3depth_tpu.live.ring_buffer import FrameRingBuffer
+
+log = logging.getLogger(__name__)
+
+
+def _percentile(xs, p):
+    return float(np.percentile(np.asarray(xs), p)) if len(xs) else float("nan")
+
+
+def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
+        display: bool = True, max_frames: Optional[int] = None,
+        source=None, state=None) -> dict:
+    """Run the live loop; returns latency/fps stats dict."""
+    from ann3depth_tpu.train import loop as looplib
+
+    frame_hw = cfg.live.frame_hw
+    if state is None:
+        state = looplib.create_state(cfg)
+        from ann3depth_tpu.train.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(cfg.train.ckpt_dir)
+        state, restored = ckpt.restore(state)
+        ckpt.close()
+        if restored is None:
+            log.warning("no checkpoint in %s — running with random weights",
+                        cfg.train.ckpt_dir)
+
+    engine = LiveEngine(state.apply_fn, state.params, frame_hw,
+                        cfg.data.input_hw, display_hw=frame_hw)
+
+    if source is None:
+        try:
+            source = OpenCVSource(frame_hw, camera=camera, video=video)
+        except (RuntimeError, ImportError) as e:
+            log.warning("camera/video unavailable (%s); synthetic source", e)
+            source = SyntheticSource(frame_hw, fps=cfg.live.target_fps)
+
+    ring = FrameRingBuffer(cfg.live.ring_capacity, (*frame_hw, 3))
+    cap = CaptureThread(source, ring, target_fps=cfg.live.target_fps).start()
+
+    cv2 = None
+    if display:
+        try:
+            import cv2 as _cv2
+            cv2 = _cv2
+        except ImportError:
+            log.warning("cv2 missing; headless")
+
+    latencies, shown = [], 0
+    t_start = time.perf_counter()
+    try:
+        while max_frames is None or shown < max_frames:
+            frame, fid, _ = ring.pop_latest()
+            if frame is None:
+                if cap.ended.is_set():
+                    break
+                time.sleep(0.001)
+                continue
+            depth, rendered, dt = engine.infer(frame)
+            latencies.append(dt)
+            shown += 1
+            if cv2 is not None:
+                bgr = cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR)
+                cv2.imshow("ann3depth_tpu live", bgr)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+            if cap.ended.is_set() and ring.stats()["popped"] >= ring.stats()["pushed"]:
+                break
+    finally:
+        cap.stop()
+        rb_stats = ring.stats()
+        ring_native = ring.native
+        ring.close()
+        if cv2 is not None:
+            cv2.destroyAllWindows()
+
+    wall = time.perf_counter() - t_start
+    stats = {
+        "frames": shown,
+        "fps": shown / wall if wall > 0 else 0.0,
+        "latency_p50_ms": _percentile(latencies, 50) * 1e3,
+        "latency_p99_ms": _percentile(latencies, 99) * 1e3,
+        "ring_native": ring_native,
+        **{f"ring_{k}": v for k, v in rb_stats.items()},
+    }
+    log.info("live: %s", stats)
+    return stats

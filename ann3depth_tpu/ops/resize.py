@@ -45,9 +45,10 @@ def window_params(in_size, out_size, *, crop_start=None, crop_frac=1.0,
     start = off
     if flip is not None:
         flip = jnp.asarray(flip)
-        # mirrored window: src'(o) = (off + win - 1e) reversed; realized as
-        # negative scale anchored at the window's right edge.
-        start = jnp.where(flip, off + win - scale, start)
+        # Mirrored window: with src(o) = start + (o+0.5)*scale - 0.5, the
+        # reversed output equals negative scale anchored at the window's
+        # right edge:  src'(o) = (off+win) + (o+0.5)*(-scale) - 0.5.
+        start = jnp.where(flip, off + win, start)
         scale = jnp.where(flip, -scale, scale)
     return jnp.asarray(start, jnp.float32), jnp.asarray(scale, jnp.float32)
 
@@ -58,21 +59,25 @@ def triangle_matrix(out_size: int, in_size: int, start, scale):
     start/scale are (traced) scalars; shapes are static. Works inside
     Pallas (2-D iota only) and in XLA.
     """
-    o_ids = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 0)
-    i_ids = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 1)
+    # int32 iota then cast: Mosaic's tpu.iota is integer-only.
+    o_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (out_size, in_size), 0).astype(jnp.float32)
+    i_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (out_size, in_size), 1).astype(jnp.float32)
     src = start + (o_ids + 0.5) * scale - 0.5
     r = jnp.maximum(jnp.abs(scale), 1.0)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(src - i_ids) / r)
     return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-8)
 
 
-def triangle_matrix_interleaved(out_size: int, in_size: int, channels: int,
+def triangle_matrix_interleaved(in_size: int, out_size: int, channels: int,
                                 start, scale):
     """[in_size*C, out_size*C] column-resize matrix for channel-interleaved
-    rows: (R [h, W*C]) @ M -> [h, w*C], i.e. kron(Ax^T, I_C).
+    rows: (R [h, in*C]) @ M -> [h, out*C], i.e. kron(Ax^T, I_C).
 
     Built directly with 2-D iota (no kron materialization steps) so it runs
-    inside a Pallas kernel.
+    inside a Pallas kernel. Rows index the interleaved *input* columns
+    (position = k // C, channel = k % C); columns index the output.
     """
     k = jax.lax.broadcasted_iota(
         jnp.int32, (in_size * channels, out_size * channels), 0)
@@ -98,5 +103,8 @@ def resample_2d(x, out_hw, y_start=0.0, y_scale=None, x_start=0.0,
         x_scale = w_in / w_out
     ay = triangle_matrix(h_out, h_in, y_start, y_scale)
     ax = triangle_matrix(w_out, w_in, x_start, x_scale)
-    y = jnp.einsum("oh,hwc->owc", ay, x.astype(jnp.float32))
-    return jnp.einsum("pw,owc->opc", ax, y)
+    # HIGHEST: the default dot precision truncates f32 operands (bf16-ish)
+    # on both TPU and current XLA:CPU — unacceptable for a resize oracle.
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,hwc->owc", ay, x.astype(jnp.float32), precision=hi)
+    return jnp.einsum("pw,owc->opc", ax, y, precision=hi)

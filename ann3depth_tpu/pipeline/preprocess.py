@@ -1,18 +1,25 @@
-"""Reference (unfused) preprocessing in pure jnp — the oracle path.
+"""Device-side preprocessing: one spec, two executions.
 
-Mirrors the reference's host-side preprocess (SURVEY.md §2.1 "Preprocessing"
-/ "Augmentation"): uint8 RGB -> resize to the model input shape -> scale to
-[0,1] -> per-channel standardize; depth -> resize to the target shape; train
-mode adds horizontal flip / crop / brightness-contrast jitter applied
-consistently to image+depth [B:9].
+Semantics (the spec, mirroring the reference's preprocess+augment surface —
+SURVEY §2.1 "Preprocessing"/"Augmentation", [B:5,9]):
+  raw uint8 RGB [B,H,W,3]  -> resized (antialiased triangle, half-pixel
+  centers) to input_hw, /255, per-channel standardized; train mode adds
+  horizontal flip (p=.5), crop-zoom (p=.5, fixed-ratio window at a random
+  offset, realized as a *single* resample from the raw frame), and
+  brightness/contrast jitter around the post-crop image mean.
+  raw f32 depth [B,dh,dw] -> same geometric transform to target_hw (values
+  scaled by the zoom ratio to keep geometry consistent); no photometrics.
 
-This module is the *correctness oracle*: ops/pallas_preprocess.py (the fused
-VMEM kernel, [B:5]) is parity-tested against it. It is itself jittable and
-runs on device, so even the "slow path" never does per-pixel Python work.
+Consistency: image and depth share the augmentation draw by sharing the PRNG
+key — `augment_params` called with the same key but each tensor's own
+in/out shapes yields the same flip/crop decisions mapped to each grid.
 
-Augmentation is functional: randomness comes from an explicit jax PRNG key,
-so a data-parallel feed can fold in the step/shard index and stay
-reproducible.
+Executions:
+  - ops/pallas_preprocess.fused_preprocess — the fused VMEM kernel (TPU).
+  - ops/pallas_preprocess.oracle_preprocess — identical math in plain XLA
+    (CPU tests, parity oracle, non-TPU backends).
+Both are driven by the same packed [B,8] param rows, so parity tests compare
+like for like.
 """
 
 from __future__ import annotations
@@ -21,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ann3depth_tpu.compat import reference_spec as ref
+from ann3depth_tpu.ops import pallas_preprocess as pp
 
 RGB_MEAN = jnp.asarray(ref.RGB_MEAN, jnp.float32)
 RGB_STD = jnp.asarray(ref.RGB_STD, jnp.float32)
@@ -36,87 +44,51 @@ def denormalize_rgb(img):
 
 
 def resize_bilinear(x, hw):
-    """Bilinear resize with half-pixel centers (TF1 align_corners=False —
-    see reference_spec.RESIZE_ALIGN_CORNERS)."""
+    """Half-pixel-center resize (antialiased triangle — reference_spec
+    RESIZE_ALIGN_CORNERS=False semantics)."""
     shape = (*x.shape[:-3], hw[0], hw[1], x.shape[-1])
     return jax.image.resize(x, shape, method="bilinear")
 
 
-def preprocess_image(img_u8, input_hw):
-    """uint8 [..., H, W, 3] -> normalized f32 [..., h, w, 3]."""
-    x = img_u8.astype(jnp.float32) / 255.0
-    x = resize_bilinear(x, input_hw)
-    return normalize_rgb(x)
+def preprocess_image(img_u8, input_hw, use_pallas=False):
+    """uint8 [B, H, W, 3] -> normalized f32 [B, h, w, 3] (no augment)."""
+    b, h, w, _ = img_u8.shape
+    params = pp.identity_params(b, (h, w), input_hw)
+    fn = pp.fused_preprocess if use_pallas else pp.oracle_preprocess
+    return fn(img_u8, params, out_hw=tuple(input_hw))
 
 
-def preprocess_depth(depth, target_hw):
-    """f32 [..., H, W] linear depth -> [..., h, w] resized.
+def preprocess_depth(depth, target_hw, use_pallas=False):
+    """f32 [B, dh, dw] linear depth -> [B, th, tw] resized."""
+    b, dh, dw = depth.shape
+    params = pp.identity_params(b, (dh, dw), target_hw)
+    fn = pp.fused_preprocess if use_pallas else pp.oracle_preprocess
+    out = fn(depth[..., None], params, out_hw=tuple(target_hw),
+             depth_mode=True)
+    return out[..., 0]
 
-    Nearest-style semantics would preserve the invalid-pixel mask exactly;
-    we use bilinear on depth (reference-era convention) and recompute the
-    validity mask from the resized values (losses.py re-masks anyway).
+
+def preprocess_batch(img_u8, depth, input_hw, target_hw, key=None,
+                     use_pallas=False):
+    """Full pipeline: raw uint8 + raw depth -> model-ready (img, depth).
+
+    key=None -> eval path (plain resize+normalize); key given -> train
+    path with fused flip/crop/jitter augmentation.
     """
-    x = depth[..., None]
-    x = jax.image.resize(x, (*x.shape[:-3], target_hw[0], target_hw[1], 1),
-                         method="bilinear")
-    return x[..., 0]
+    b, h, w, _ = img_u8.shape
+    _, dh, dw = depth.shape
+    input_hw, target_hw = tuple(input_hw), tuple(target_hw)
 
+    if key is None:
+        img_params = pp.identity_params(b, (h, w), input_hw)
+        dep_params = pp.identity_params(b, (dh, dw), target_hw)
+    else:
+        # Same key -> same flip/crop draws, mapped onto each source grid.
+        img_params = pp.augment_params(key, b, (h, w), input_hw)
+        dep_params = pp.augment_params(key, b, (dh, dw), target_hw)
 
-def augment(key, img, depth):
-    """Random horizontal flip + brightness/contrast jitter + random crop-zoom.
-
-    img:   [B, h, w, 3] normalized f32 (post preprocess_image)
-    depth: [B, h', w'] f32 linear depth
-    Geometric ops are applied consistently to both; photometric only to img.
-    Fully batched and jit-safe (no data-dependent shapes): the crop is a
-    fixed-ratio (87.5%) crop at a random offset, realized as a gatherless
-    resize of a dynamically-sliced window.
-    """
-    kflip, kbright, kcontrast, kcrop, kdo = jax.random.split(key, 5)
-    b = img.shape[0]
-
-    # --- horizontal flip (p=0.5 per example), consistent img+depth ---
-    flip = jax.random.bernoulli(kflip, 0.5, (b,))
-    img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
-    depth = jnp.where(flip[:, None, None], depth[:, :, ::-1], depth)
-
-    # --- photometric jitter in normalized space (img only) ---
-    brightness = jax.random.uniform(kbright, (b, 1, 1, 1), minval=-0.2, maxval=0.2)
-    contrast = jax.random.uniform(kcontrast, (b, 1, 1, 1), minval=0.8, maxval=1.2)
-    mean = jnp.mean(img, axis=(1, 2, 3), keepdims=True)
-    img = (img - mean) * contrast + mean + brightness
-
-    # --- random crop-zoom (p=0.5 per example) ---
-    # Crop an 87.5% window at a random aligned offset and resize back.
-    # Depth is *not* rescaled: a center-crop zoom changes apparent depth by
-    # the zoom factor; following the reference-era convention we divide
-    # depth by the zoom ratio to keep geometry consistent.
-    do_crop = jax.random.bernoulli(kdo, 0.5, (b,))
-    ratio = 0.875
-    oy = jax.random.uniform(kcrop, (b,), minval=0.0, maxval=1.0)
-    ox = jax.random.uniform(jax.random.fold_in(kcrop, 1), (b,), minval=0.0, maxval=1.0)
-
-    def crop_one(x, off_y, off_x):
-        """x: [h, w, c]; crop ratio window at normalized offset, resize back."""
-        h, w = x.shape[0], x.shape[1]
-        ch, cw = int(h * ratio), int(w * ratio)
-        y0 = jnp.round(off_y * (h - ch)).astype(jnp.int32)
-        x0 = jnp.round(off_x * (w - cw)).astype(jnp.int32)
-        win = jax.lax.dynamic_slice(x, (y0, x0, 0), (ch, cw, x.shape[2]))
-        return jax.image.resize(win, x.shape, method="bilinear")
-
-    img_c = jax.vmap(crop_one)(img, oy, ox)
-    depth_c = jax.vmap(crop_one)(depth[..., None], oy, ox)[..., 0] * ratio
-    img = jnp.where(do_crop[:, None, None, None], img_c, img)
-    depth = jnp.where(do_crop[:, None, None], depth_c, depth)
-
-    return img, depth
-
-
-def preprocess_batch(img_u8, depth, input_hw, target_hw, key=None):
-    """Full oracle pipeline: raw uint8 batch -> model-ready (img, depth)."""
-    x = preprocess_image(img_u8, input_hw)
-    d = preprocess_depth(depth, target_hw)
-    if key is not None:
-        x, d = augment(key, x, d)
-    return x, d
+    fn = pp.fused_preprocess if use_pallas else pp.oracle_preprocess
+    img = fn(img_u8, img_params, out_hw=input_hw)
+    dep = fn(depth[..., None], dep_params, out_hw=target_hw,
+             depth_mode=True)[..., 0]
+    return img, dep

@@ -91,7 +91,9 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
 
     step_kwargs = dict(input_hw=cfg.data.input_hw,
                        target_hw=resolved_target_hw(cfg),
-                       si_lambda=cfg.train.si_lambda, augment=cfg.data.augment)
+                       si_lambda=cfg.train.si_lambda, augment=cfg.data.augment,
+                       # fused Pallas preprocess on TPU; XLA oracle elsewhere
+                       use_pallas=jax.default_backend() == "tpu")
     metrics = {}
     t0 = time.perf_counter()
     imgs_since = 0
@@ -139,7 +141,8 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
                             shuffle=False)):
         m = jax.device_get(steplib.eval_step(
             state, img_u8, depth,
-            input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg)))
+            input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
+            use_pallas=jax.default_backend() == "tpu"))
         bs = img_u8.shape[0]
         for k, v in m.items():
             totals[k] = totals.get(k, 0.0) + float(v) * bs

@@ -68,20 +68,25 @@ def loss_fn(params, apply_fn, images, depths, si_lambda):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("input_hw", "target_hw", "si_lambda", "augment"),
+    static_argnames=("input_hw", "target_hw", "si_lambda", "augment",
+                     "use_pallas"),
     donate_argnames=("state",),
 )
 def train_step(state: TrainState, img_u8, depth_raw, rng, *,
-               input_hw, target_hw, si_lambda=0.5, augment=False):
+               input_hw, target_hw, si_lambda=0.5, augment=False,
+               use_pallas=False):
     """One fused device step: preprocess -> fwd -> bwd -> update.
 
     img_u8:    [B, H, W, 3] raw uint8 frames (any source size)
     depth_raw: [B, dh, dw] raw f32 depth (any source grid)
     rng:       PRNG key for augmentation (folded with step for determinism)
+    use_pallas: run the fused Pallas preprocess kernel (TPU) instead of the
+      XLA oracle path (same math; ops/pallas_preprocess.py).
     """
     key = jax.random.fold_in(rng, state.step) if augment else None
     images, depths = preprocess.preprocess_batch(
-        img_u8, depth_raw, input_hw, target_hw, key=key)
+        img_u8, depth_raw, input_hw, target_hw, key=key,
+        use_pallas=use_pallas)
 
     (loss, pred_log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, state.apply_fn, images, depths, si_lambda)
@@ -98,21 +103,26 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
                          opt_state=new_opt_state), metrics
 
 
-@functools.partial(jax.jit, static_argnames=("input_hw", "target_hw"))
-def eval_step(state: TrainState, img_u8, depth_raw, *, input_hw, target_hw):
+@functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
+                                             "use_pallas"))
+def eval_step(state: TrainState, img_u8, depth_raw, *, input_hw, target_hw,
+              use_pallas=False):
     """Eval: preprocess -> forward -> full metric dict (no augmentation)."""
     images, depths = preprocess.preprocess_batch(
-        img_u8, depth_raw, input_hw, target_hw, key=None)
+        img_u8, depth_raw, input_hw, target_hw, key=None,
+        use_pallas=use_pallas)
     pred_log = state.apply_fn({"params": state.params}, images)
     m = losses.depth_metrics(pred_log, depths)
     m["loss"] = losses.scale_invariant_log_loss(pred_log, depths)
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw"))
-def infer_step(apply_fn, params, img_u8, *, input_hw):
+@functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw",
+                                             "use_pallas"))
+def infer_step(apply_fn, params, img_u8, *, input_hw, use_pallas=False):
     """Inference: raw uint8 frame(s) -> linear depth map [B,h,w]."""
-    images = preprocess.preprocess_image(img_u8, input_hw)
+    images = preprocess.preprocess_image(img_u8, input_hw,
+                                         use_pallas=use_pallas)
     pred_log = apply_fn({"params": params}, images)
     return jnp.exp(pred_log[..., 0])
 

@@ -31,7 +31,7 @@ RAW_HW = (480, 640)       # raw frame size shipped to device (uint8)
 INPUT_HW = (240, 320)     # model input [B:8]
 TARGET_HW = (120, 160)    # depth target [B:8]
 WARMUP = 10
-STEPS = 50
+STEPS = 100  # amortize the tunnel's per-sync RTT (~tens of ms)
 
 
 def main():
@@ -61,19 +61,24 @@ def main():
         dep = rng_np.uniform(1.0, 60.0, (BATCH, 48, 64)).astype(np.float32)
         pool.append((jax.device_put(img, sharding), jax.device_put(dep, sharding)))
 
-    kw = dict(input_hw=INPUT_HW, target_hw=TARGET_HW, si_lambda=0.5, augment=True)
+    kw = dict(input_hw=INPUT_HW, target_hw=TARGET_HW, si_lambda=0.5,
+              augment=True, use_pallas=jax.default_backend() == "tpu")
 
+    # NOTE: sync via device_get of a scalar, NOT block_until_ready — the
+    # axon TPU tunnel acks dispatch before compute finishes, so
+    # block_until_ready under-measures wildly (verified 2026-08-16).
     for i in range(WARMUP):
         img, dep = pool[i % len(pool)]
         state, metrics = steplib.train_step(state, img, dep, rng, **kw)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         img, dep = pool[i % len(pool)]
         state, metrics = steplib.train_step(state, img, dep, rng, **kw)
-    jax.block_until_ready(metrics["loss"])
+    loss = float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
+    assert loss == loss, "NaN loss in benchmark"
 
     ips = BATCH * STEPS / dt
     print(json.dumps({

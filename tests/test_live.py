@@ -1,0 +1,134 @@
+"""Live path tests: native ring buffer correctness + producer/consumer
+stress (SURVEY §5 "Race detection"), capture thread, and the end-to-end
+headless live loop."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ann3depth_tpu.live.ring_buffer import FrameRingBuffer
+
+
+@pytest.fixture(params=["native", "python"])
+def ring_kind(request):
+    return request.param
+
+
+def _mk_ring(kind, capacity=4, shape=(8, 8, 3)):
+    rb = FrameRingBuffer(capacity, shape, force_python=(kind == "python"))
+    if kind == "native" and not rb.native:
+        pytest.skip("native ringbuffer unavailable (no g++)")
+    return rb
+
+
+def test_ring_empty(ring_kind):
+    rb = _mk_ring(ring_kind)
+    frame, fid, drops = rb.pop_latest()
+    assert frame is None and fid == -1
+    rb.close()
+
+
+def test_ring_push_pop_roundtrip(ring_kind):
+    rb = _mk_ring(ring_kind)
+    f = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) % 255
+    rb.push(f)
+    out, fid, drops = rb.pop_latest()
+    np.testing.assert_array_equal(out, f)
+    assert fid == 0 and drops == 0
+    rb.close()
+
+
+def test_ring_latest_semantics_and_drop_count(ring_kind):
+    rb = _mk_ring(ring_kind)
+    for i in range(3):
+        rb.push(np.full((8, 8, 3), i, np.uint8))
+    out, fid, _ = rb.pop_latest()
+    assert fid == 2 and out[0, 0, 0] == 2
+    for i in range(3, 6):
+        rb.push(np.full((8, 8, 3), i, np.uint8))
+    out, fid, drops = rb.pop_latest()
+    assert fid == 5 and drops == 2  # frames 3,4 skipped
+    stats = rb.stats()
+    assert stats["pushed"] == 6 and stats["popped"] == 2
+    rb.close()
+
+
+def test_ring_overwrite_wraps(ring_kind):
+    rb = _mk_ring(ring_kind, capacity=2)
+    for i in range(10):
+        rb.push(np.full((8, 8, 3), i * 20, np.uint8))
+    out, fid, _ = rb.pop_latest()
+    assert fid == 9 and out[0, 0, 0] == 180
+    rb.close()
+
+
+@pytest.mark.parametrize("kind", ["native", "python"])
+def test_ring_stress_no_torn_frames(kind):
+    """TSan-style stress (SURVEY §5): producer hammers, consumer validates
+    every popped frame is internally consistent (all bytes equal)."""
+    rb = _mk_ring(kind, capacity=3, shape=(32, 32, 3))
+    n_frames = 2000
+    errors = []
+
+    def producer():
+        for i in range(n_frames):
+            rb.push(np.full((32, 32, 3), i % 251, np.uint8))
+
+    def consumer(stop):
+        while not stop.is_set():
+            frame, fid, _ = rb.pop_latest()
+            if frame is None:
+                continue
+            lo, hi = int(frame.min()), int(frame.max())
+            if lo != hi:
+                errors.append((fid, lo, hi))
+            if (fid % 251) != lo:
+                errors.append(("id-mismatch", fid, lo))
+
+    stop = threading.Event()
+    c = threading.Thread(target=consumer, args=(stop,))
+    p = threading.Thread(target=producer)
+    c.start(); p.start()
+    p.join(timeout=60)
+    stop.set(); c.join(timeout=10)
+    assert not errors, errors[:5]
+    assert rb.stats()["pushed"] == n_frames
+    rb.close()
+
+
+def test_capture_thread_synthetic():
+    from ann3depth_tpu.live.capture import CaptureThread, SyntheticSource
+
+    ring = FrameRingBuffer(4, (24, 32, 3))
+    src = SyntheticSource((24, 32), fps=200.0)
+    cap = CaptureThread(src, ring, target_fps=200.0).start()
+    time.sleep(0.2)
+    cap.stop()
+    assert ring.stats()["pushed"] >= 5
+    frame, fid, _ = ring.pop_latest()
+    assert frame is not None and frame.shape == (24, 32, 3)
+    ring.close()
+
+
+def test_live_loop_headless(tmp_path):
+    """End-to-end: synthetic source -> ring -> engine -> stats [B:10]."""
+    import dataclasses
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.live import viewer
+    from ann3depth_tpu.live.capture import SyntheticSource
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, input_hw=(48, 64)),
+        live=dataclasses.replace(cfg.live, frame_hw=(96, 128), target_fps=100),
+        train=dataclasses.replace(cfg.train, ckpt_dir=str(tmp_path / "none")),
+    )
+    src = SyntheticSource((96, 128), fps=100)
+    stats = viewer.run(cfg, display=False, max_frames=10, source=src)
+    assert stats["frames"] == 10
+    assert np.isfinite(stats["latency_p50_ms"])
+    assert stats["ring_pushed"] > 0

@@ -39,11 +39,13 @@ def test_dp_matches_single_device(cpu_mesh):
     state, img, dep, kw = _setup(batch)
     rng = jax.random.key(0)
 
-    # single device (device 0 of the mesh)
+    # single device (device 0 of the mesh); train_step donates its state,
+    # so keep an unshared copy for the DP run below.
+    state_copy = jax.tree.map(jnp.copy, state)
     s1, m1 = steplib.train_step(state, img, dep, rng, **kw)
 
     # DP over the mesh
-    state_r = meshlib.replicate(state, cpu_mesh)
+    state_r = meshlib.replicate(state_copy, cpu_mesh)
     batch_sh = meshlib.shard_batch({"i": img, "d": dep}, cpu_mesh)
     rng_r = jax.device_put(rng, meshlib.replicated(cpu_mesh))
     s8, m8 = steplib.train_step(state_r, batch_sh["i"], batch_sh["d"], rng_r, **kw)

@@ -43,39 +43,21 @@ def test_preprocess_depth_preserves_range():
     np.testing.assert_allclose(np.asarray(out), 17.0, rtol=1e-5)
 
 
-def test_augment_flip_consistency():
-    """When a flip happens it must hit image and depth together."""
-    key = jax.random.key(0)
-    b, h, w = 8, 16, 20
-    # asymmetric pattern: value encodes column index
-    img = jnp.tile(jnp.arange(w, dtype=jnp.float32)[None, None, :, None], (b, h, 1, 3))
-    depth = jnp.tile(jnp.arange(w, dtype=jnp.float32)[None, None, :], (b, h, 1))
-    img2, depth2 = preprocess.augment(key, img, depth)
-    # wherever depth was flipped, its column order reverses; the (photometric-
-    # jittered) image must reverse on exactly the same examples.
-    for i in range(b):
-        d_flipped = bool(depth2[i, 0, 0] > depth2[i, 0, -1])
-        # image columns are monotone in un-flipped case even after affine jitter
-        im_flipped = bool(img2[i, 0, 0, 0] > img2[i, 0, -1, 0])
-        # only check examples that were not cropped (crop breaks monotonicity
-        # at the edges but not the direction): direction is still reliable.
-        assert d_flipped == im_flipped
-
-
-def test_augment_deterministic_in_key():
+def test_preprocess_batch_deterministic_in_key():
     key = jax.random.key(3)
     rng = np.random.default_rng(2)
-    img = jnp.asarray(rng.normal(0, 1, (4, 16, 20, 3)), jnp.float32)
+    img = jnp.asarray(rng.integers(0, 256, (4, 16, 20, 3)), jnp.uint8)
     depth = jnp.asarray(rng.uniform(1, 50, (4, 16, 20)), jnp.float32)
-    a1 = preprocess.augment(key, img, depth)
-    a2 = preprocess.augment(key, img, depth)
+    a1 = preprocess.preprocess_batch(img, depth, (8, 10), (4, 5), key=key)
+    a2 = preprocess.preprocess_batch(img, depth, (8, 10), (4, 5), key=key)
     for x, y in zip(a1, a2):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_augment_jits():
+def test_preprocess_batch_jits():
     key = jax.random.key(0)
-    img = jnp.zeros((2, 16, 20, 3))
+    img = jnp.zeros((2, 16, 20, 3), jnp.uint8)
     depth = jnp.ones((2, 16, 20))
-    out = jax.jit(preprocess.augment)(key, img, depth)
-    assert out[0].shape == img.shape and out[1].shape == depth.shape
+    fn = jax.jit(preprocess.preprocess_batch, static_argnums=(2, 3))
+    out = fn(img, depth, (8, 10), (4, 5), key=key)
+    assert out[0].shape == (2, 8, 10, 3) and out[1].shape == (2, 4, 5)
