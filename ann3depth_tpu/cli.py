@@ -89,6 +89,8 @@ def build_parser():
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
+    # orbax/absl emit a noisy INFO line per checkpoint op; keep WARNING+
+    logging.getLogger("absl").setLevel(logging.WARNING)
     args = build_parser().parse_args(argv)
 
     if args.mode == "train":

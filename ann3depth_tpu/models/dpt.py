@@ -1,0 +1,152 @@
+"""DPT-style ViT depth model at 384x384 — the stretch config [B:11].
+
+A dense-prediction transformer in the spirit of Ranftl et al. 2021
+("Vision Transformers for Dense Prediction"): patchify -> ViT encoder ->
+reassemble tokens from several depths into image-like feature maps ->
+convolutional fusion decoder -> log-depth at full input resolution.
+
+TPU-first design notes:
+- 16x16 patches at 384x384 -> 24x24 = 576 tokens: tiny sequence, so plain
+  dot-product attention compiles straight onto the MXU; no blockwise /
+  flash attention warranted (SURVEY §5 "Long-context" — decision recorded
+  there), jax.nn.dot_product_attention handles fusion.
+- bf16 compute / f32 params; LayerNorms and the head in f32.
+- Token reassembly is reshape-only (24x24 grid), upsampling in the fusion
+  head is jax.image.resize + conv (same rationale as models/encdec.py).
+- remat-able blocks for HBM headroom at batch (config uses remat=True).
+- The "model" mesh axis (parallel/mesh.py) is reserved for sharding
+  attention heads / MLP if this is ever scaled up; at this size DP-only is
+  optimal.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MLP(nn.Module):
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.dim, dtype=self.dtype)(x)
+
+
+class Block(nn.Module):
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype, deterministic=True)(y, y)
+        x = x + y
+        y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        return x + MLP(self.dim, self.dim * 4, dtype=self.dtype)(y)
+
+
+class FusionBlock(nn.Module):
+    """DPT-style refinement: merge an upsampled coarser path with a
+    reassembled skip, then refine with convs."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        if skip is not None:
+            x = x + nn.Conv(self.features, (3, 3), padding="SAME",
+                            dtype=self.dtype, use_bias=False)(skip)
+        y = nn.relu(x)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    use_bias=False)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    use_bias=False)(y)
+        x = x + y
+        b, h, w, c = x.shape
+        return jax.image.resize(x, (b, h * 2, w * 2, c),
+                                method="bilinear").astype(self.dtype)
+
+
+class DPTDepthNet(nn.Module):
+    """ViT-S-ish encoder + DPT fusion head -> log-depth at input res."""
+
+    patch: int = 16
+    dim: int = 384
+    depth: int = 12
+    heads: int = 6
+    fusion_features: int = 128
+    tap_layers: Sequence[int] = (2, 5, 8, 11)  # reassembled skip depths
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = True
+
+    OUTPUT_STRIDE = 1  # full-resolution depth out
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, H, W, 3] normalized f32 (H, W divisible by patch)."""
+        dt = self.compute_dtype
+        b, h, w, _ = x.shape
+        gh, gw = h // self.patch, w // self.patch
+        # 4 fusion stages x2 upsampling each must recover the 16x patch
+        # stride exactly.
+        assert len(self.tap_layers) == 4 and self.patch == 16, (
+            "DPT head is built for patch=16 with 4 reassembled taps")
+
+        # Patchify: conv with patch-size kernel/stride = linear projection.
+        tok = nn.Conv(self.dim, (self.patch, self.patch),
+                      strides=(self.patch, self.patch), dtype=dt,
+                      name="patch_embed")(x.astype(dt))
+        tok = tok.reshape(b, gh * gw, self.dim)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, gh * gw, self.dim), jnp.float32)
+        tok = tok + pos.astype(dt)
+
+        block = nn.remat(Block) if self.remat else Block
+        taps = []
+        for i in range(self.depth):
+            tok = block(self.dim, self.heads, dtype=dt, name=f"block{i}")(tok)
+            if i in self.tap_layers:
+                taps.append(tok)
+
+        # Reassemble token taps into [B, gh, gw, C] maps, project, fuse
+        # coarse-to-fine with 2x upsampling per stage: gh -> H.
+        def reassemble(t, name):
+            m = t.reshape(b, gh, gw, self.dim)
+            return nn.Conv(self.fusion_features, (1, 1), dtype=dt,
+                           name=name)(m)
+
+        skips = [reassemble(t, f"reassemble{i}") for i, t in enumerate(taps)]
+
+        fuse = nn.remat(FusionBlock) if self.remat else FusionBlock
+        y = skips[-1]
+        y = fuse(self.fusion_features, dtype=dt, name="fuse3")(y)         # 2x
+        y = fuse(self.fusion_features, dtype=dt, name="fuse2")(y, _up(skips[-2], 2, dt))   # 4x
+        y = fuse(self.fusion_features, dtype=dt, name="fuse1")(y, _up(skips[-3], 4, dt))   # 8x
+        y = fuse(self.fusion_features, dtype=dt, name="fuse0")(y, _up(skips[-4], 8, dt))   # 16x = full res
+
+        y = nn.Conv(64, (3, 3), padding="SAME", dtype=dt, name="head1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
+                    name="head2")(y.astype(jnp.float32))
+        return y
+
+    @staticmethod
+    def output_hw(input_hw):
+        return tuple(input_hw)
+
+
+def _up(x, factor, dt):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c),
+                            method="bilinear").astype(dt)

@@ -1,0 +1,50 @@
+"""Live-path latency benchmark (BASELINE.md: 640x480 frames/sec/chip and
+p50 per-frame latency vs the <15 ms target [B:5,10]).
+
+Runs the real live loop headless with a synthetic 640x480@30fps source and
+reports p50/p99 end-to-end latency (H2D + fused preprocess + forward +
+colormap + D2H) plus achieved fps. Note: on this environment the TPU is
+reached through a network tunnel, so host-measured latency includes tunnel
+RTT that a locally-attached v5e does not have — recorded alongside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+RESULTS = os.path.join(os.path.dirname(__file__), "results.jsonl")
+
+
+def run(cfg=None, frames: int = 100, record: bool = True) -> dict:
+    import jax
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.live import viewer
+    from ann3depth_tpu.live.capture import SyntheticSource
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = cfg or get_config("live")
+    state = looplib.create_state(cfg)  # random weights: latency-only bench
+
+    src = SyntheticSource(cfg.live.frame_hw, fps=cfg.live.target_fps)
+    stats = viewer.run(cfg, display=False, max_frames=frames, source=src,
+                       state=state)
+    result = {
+        "bench": "live_latency",
+        "frame_hw": list(cfg.live.frame_hw),
+        "backend": jax.default_backend(),
+        "target_p50_ms": 15.0,
+        **stats,
+        "time": time.time(),
+    }
+    if record:
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(result) + "\n")
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

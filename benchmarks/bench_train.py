@@ -1,0 +1,83 @@
+"""Training-throughput benchmark (BASELINE.md metrics: train images/sec).
+
+Measures the steady-state fused train step for a Config on synthetic data
+(device-resident batch pool: times the device pipeline, not host numpy).
+Used by `python -m ann3depth_tpu bench` and by bench.py (the driver's
+headline). Appends a JSONL record to benchmarks/results.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+RESULTS = os.path.join(os.path.dirname(__file__), "results.jsonl")
+
+
+def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
+        record: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.parallel import mesh as meshlib
+    from ann3depth_tpu.train import loop as looplib
+    from ann3depth_tpu.train import step as steplib
+
+    mesh = meshlib.create_mesh()
+    state = looplib.create_state(cfg, mesh)
+    sharding = meshlib.batch_sharding(mesh)
+    rng = jax.device_put(jax.random.key(0), meshlib.replicated(mesh))
+
+    b = cfg.train.batch_size
+    rng_np = np.random.default_rng(0)
+    pool = []
+    for _ in range(4):
+        img = rng_np.integers(0, 256, (b, *raw_hw, 3), dtype=np.uint8)
+        dep = rng_np.uniform(1.0, 60.0, (b, raw_hw[0] // 10,
+                                         raw_hw[1] // 10)).astype(np.float32)
+        pool.append((jax.device_put(img, sharding),
+                     jax.device_put(dep, sharding)))
+
+    kw = dict(input_hw=cfg.data.input_hw,
+              target_hw=looplib.resolved_target_hw(cfg),
+              si_lambda=cfg.train.si_lambda, augment=True,
+              use_pallas=jax.default_backend() == "tpu")
+
+    for i in range(warmup):
+        img, dep = pool[i % len(pool)]
+        state, metrics = steplib.train_step(state, img, dep, rng, **kw)
+    float(jax.device_get(metrics["loss"]))  # real sync (see utils/tracing)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        img, dep = pool[i % len(pool)]
+        state, metrics = steplib.train_step(state, img, dep, rng, **kw)
+    loss = float(jax.device_get(metrics["loss"]))
+    dt = time.perf_counter() - t0
+
+    result = {
+        "bench": "train_throughput",
+        "model": cfg.model.name,
+        "batch_size": b,
+        "input_hw": list(cfg.data.input_hw),
+        "backend": jax.default_backend(),
+        "n_devices": mesh.devices.size,
+        "images_per_sec": round(b * steps / dt, 2),
+        "step_ms": round(dt / steps * 1e3, 3),
+        "final_loss": loss,
+        "time": time.time(),
+    }
+    if record:
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(result) + "\n")
+    return result
+
+
+if __name__ == "__main__":
+    from ann3depth_tpu.config import get_config
+
+    print(json.dumps(run(get_config("make3d-encdec"))))

@@ -39,23 +39,30 @@ def test_dp_matches_single_device(cpu_mesh):
     state, img, dep, kw = _setup(batch)
     rng = jax.random.key(0)
 
-    # single device (device 0 of the mesh); train_step donates its state,
-    # so keep an unshared copy for the DP run below.
-    state_copy = jax.tree.map(jnp.copy, state)
-    s1, m1 = steplib.train_step(state, img, dep, rng, **kw)
+    # HIGHEST matmul precision: XLA's default truncates f32 dot operands,
+    # and the truncation pattern differs with partitioning — with exact f32
+    # the two programs differ only by reduction order.
+    with jax.default_matmul_precision("highest"):
+        # single device (device 0 of the mesh); train_step donates its
+        # state, so keep an unshared copy for the DP run below.
+        state_copy = jax.tree.map(jnp.copy, state)
+        s1, m1 = steplib.train_step(state, img, dep, rng, **kw)
 
-    # DP over the mesh
-    state_r = meshlib.replicate(state_copy, cpu_mesh)
-    batch_sh = meshlib.shard_batch({"i": img, "d": dep}, cpu_mesh)
-    rng_r = jax.device_put(rng, meshlib.replicated(cpu_mesh))
-    s8, m8 = steplib.train_step(state_r, batch_sh["i"], batch_sh["d"], rng_r, **kw)
+        # DP over the mesh
+        state_r = meshlib.replicate(state_copy, cpu_mesh)
+        batch_sh = meshlib.shard_batch({"i": img, "d": dep}, cpu_mesh)
+        rng_r = jax.device_put(rng, meshlib.replicated(cpu_mesh))
+        s8, m8 = steplib.train_step(state_r, batch_sh["i"], batch_sh["d"],
+                                    rng_r, **kw)
 
     assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-4)
     l1 = jax.tree.leaves(s1.params)
     l8 = jax.tree.leaves(jax.device_get(s8.params))
+    # atol 2e-4: Adam's rsqrt(v)+eps at step 1 amplifies reduction-order
+    # noise in near-zero gradients; params are O(0.1).
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-4, atol=5e-5)
+                                   rtol=5e-4, atol=2e-4)
 
 
 def test_shard_batch_rejects_indivisible(cpu_mesh):
