@@ -1,0 +1,46 @@
+# Ops targets (SURVEY §2.1 "Ops scripts" — the reference's Makefile surface,
+# minus the university grid-engine scripts which don't apply to TPU hosts).
+
+PY ?= python
+DATA_DIR ?= data
+CKPT_DIR ?= checkpoints
+CONFIG ?= make3d-encdec
+STEPS ?= 5000
+
+.PHONY: test test-fast download-make3d download-nyu train eval live bench \
+        native clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -k "not stress and not integration"
+
+download-make3d:
+	$(PY) -m ann3depth_tpu download --dataset make3d --data-dir $(DATA_DIR)
+
+download-nyu:
+	$(PY) -m ann3depth_tpu download --dataset nyu --data-dir $(DATA_DIR)
+
+train:
+	$(PY) -m ann3depth_tpu train --config $(CONFIG) --steps $(STEPS) \
+	    --data-dir $(DATA_DIR) --ckpt-dir $(CKPT_DIR)
+
+eval:
+	$(PY) -m ann3depth_tpu eval --config $(CONFIG) --data-dir $(DATA_DIR) \
+	    --ckpt-dir $(CKPT_DIR)
+
+live:
+	$(PY) -m ann3depth_tpu live --config live --ckpt-dir $(CKPT_DIR)
+
+bench:
+	$(PY) bench.py
+
+# build the native ring buffer ahead of time (also built lazily on import)
+native:
+	mkdir -p native/build
+	g++ -O2 -shared -fPIC -std=c++17 -o native/build/libringbuffer.so \
+	    native/ringbuffer.cpp
+
+clean:
+	rm -rf native/build benchmarks/results.jsonl

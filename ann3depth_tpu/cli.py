@@ -46,6 +46,7 @@ def _resolve(args) -> cfglib.Config:
     if args.learning_rate: train["learning_rate"] = args.learning_rate
     if args.seed is not None: train["seed"] = args.seed
     if getattr(args, "resume", False): train["resume"] = True
+    if getattr(args, "tensorboard", False): train["tensorboard"] = True
     if getattr(args, "augment", False): data["augment"] = True
     for section, overrides in (("data", data), ("model", model), ("train", train)):
         if overrides:
@@ -63,6 +64,8 @@ def build_parser():
     pt.add_argument("--resume", action="store_true",
                     help="continue from latest checkpoint (the reference's --cont)")
     pt.add_argument("--augment", action="store_true")
+    pt.add_argument("--tensorboard", action="store_true",
+                    help="also write TensorBoard event files under workdir/tb")
     pt.add_argument("--workdir", help="metrics/log directory (default: ckpt dir)")
 
     pe = sub.add_parser("eval", help="evaluate RMSE etc. on the test split")

@@ -42,6 +42,7 @@ class TrainConfig:
     eval_every: int = 500
     ckpt_dir: str = "checkpoints"
     resume: bool = False
+    tensorboard: bool = False  # also write tf.summary event files
     seed: int = 0
     si_lambda: float = ref.SI_LOSS_LAMBDA
     remat: bool = False            # jax.checkpoint the encoder to save HBM
@@ -112,7 +113,8 @@ PRESETS = {
     "smoke": _cfg(
         data={"datasets": ("synthetic",)},
         model={"name": "small", "compute_dtype": "float32"},
-        train={"batch_size": 2, "steps": 10, "log_every": 5, "checkpoint_every": 5},
+        train={"batch_size": 2, "steps": 10, "log_every": 5,
+               "checkpoint_every": 5, "eval_every": 0},
     ),
 }
 

@@ -1,21 +1,25 @@
 """Encoder-decoder depth CNN — the flagship parity model [B:5,8].
 
-Capability parity with the reference's full model (SURVEY.md §2.1
+Capability parity with the reference's full model (SURVEY §2.1
 "Encoder-decoder CNN"): strided-conv encoder, conv decoder with a bilinear
 upsampling head; 320x240 RGB in -> 160x120 log-depth out (output stride 2).
 
-TPU-first design:
-- NHWC + channels in multiples of 32: every conv lowers to MXU matmuls with
-  full 128-lane tiles once im2col'd by XLA.
-- bf16 compute / f32 params: MXU-native precision; the loss and the final
-  head run in f32.
-- Upsampling is `jax.image.resize` (bilinear, half-pixel centers — see
-  compat/reference_spec.RESIZE_ALIGN_CORNERS) followed by a conv; XLA fuses
-  the resize gather into the surrounding elementwise work. No transposed
-  convs: they lower to strided scatter on TPU and checkerboard anyway.
-- U-Net style skip connections from encoder stages (concat), which the
-  reference-era architecture family used to recover spatial detail.
-- Optional `remat` wraps encoder stages in jax.checkpoint to trade FLOPs for
+TPU-first design (informed by an on-chip profile, 2026-08-16):
+- **Space-to-depth stem**: the naive full-res 240x320x32 stem stage was the
+  single most HBM-expensive activation and ran at 3->32 channels (MXU lanes
+  pad to 128 -> mostly idle). A 2x2 space-to-depth reshapes the input to
+  120x160x12 for free, so every conv in the network runs at the output
+  stride or below with >=64 channels.
+- **Additive skip connections** (1x1-projected) instead of U-Net concats:
+  the profile showed ~1.4 ms/step of pure `copy` from concatenation;
+  adds fuse into the surrounding convs.
+- **One GroupNorm per stage** (after the strided conv), not per conv:
+  norm statistics were ~2.3 ms/step of convert+reduce fusions.
+- NHWC, bf16 compute / f32 params; head and loss in f32.
+- Upsampling is `jax.image.resize` (bilinear, half-pixel — see
+  compat/reference_spec.RESIZE_ALIGN_CORNERS) + conv. No transposed convs
+  (strided-scatter lowering + checkerboard).
+- Optional `remat` wraps stage blocks in jax.checkpoint to trade FLOPs for
   HBM at large batch.
 """
 
@@ -28,27 +32,80 @@ import jax
 import jax.numpy as jnp
 
 
-class ConvBlock(nn.Module):
+def space_to_depth(x, factor: int = 2):
+    """[B, H, W, C] -> [B, H/f, W/f, C*f*f] (free reshape, no compute)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // factor, factor, w // factor, factor, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // factor, w // factor, c * factor * factor)
+
+
+class Stage(nn.Module):
+    """One encoder stage: strided conv -> GroupNorm -> relu -> conv -> relu."""
+
     features: int
-    strides: int = 1
+    strides: int = 2
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", dtype=self.dtype, use_bias=False)(x)
+        x = nn.Conv(self.features, (3, 3),
+                    strides=(self.strides, self.strides), padding="SAME",
+                    dtype=self.dtype, use_bias=False, name="conv_down")(x)
         x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
-        return nn.relu(x)
+        x = nn.relu(x)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    use_bias=False, name="conv_refine")(x)
+        return nn.relu(x + y)  # residual refine
+
+
+class UpStage(nn.Module):
+    """Decoder stage: 1x1 channel projection at LOW res -> bilinear x2 ->
+    3x3 conv + projected additive skip.
+
+    Projecting before the resize halves both the bytes the bilinear gather
+    moves and the 3x3 conv's input channels (equal in/out widths keep the
+    MXU contraction dense)."""
+
+    features: int
+    refine: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, use_bias=False,
+                    name="proj_down")(x)
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c),
+                             method="bilinear").astype(self.dtype)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    use_bias=False, name="conv_up")(x)
+        skip = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       use_bias=False, name="proj_skip")(skip)
+        x = nn.relu(x + skip)
+        if self.refine:
+            y = nn.Conv(self.features, (3, 3), padding="SAME",
+                        dtype=self.dtype, use_bias=False, name="conv_refine")(x)
+            x = nn.relu(x + y)
+        return x
 
 
 class EncDecDepthNet(nn.Module):
-    """Strided-conv encoder + bilinear-upsample decoder, log-depth head."""
+    """Space-to-depth stem + strided-conv encoder + bilinear-upsample
+    decoder with additive skips; 1-channel bilinear upsampling head.
+
+    All feature maps live at stride >= 4: the profile showed stride-2
+    feature work (conv + relu-bwd + norm stats + layout copies at
+    120x160x64) dominating the step, while the [B:8] contract only needs
+    *depth* at stride 2 — so the head predicts log-depth at stride 4 and
+    bilinearly upsamples the single-channel map x2 (the reference's own
+    'bilinear upsampling head' shape, at TPU-friendly cost)."""
 
     width_mult: float = 1.0
     compute_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
-    # Encoder channel plan; stage i downsamples by 2 (stride-2 entry conv).
-    enc_widths: Sequence[int] = (32, 64, 128, 256)
+    # Stage widths at strides 4, 8, 16 relative to the input.
+    enc_widths: Sequence[int] = (64, 128, 256)
 
     OUTPUT_STRIDE = 2  # input HW -> output HW ratio [B:8]
 
@@ -57,36 +114,30 @@ class EncDecDepthNet(nn.Module):
         """x: [B, H, W, 3] normalized f32 -> [B, H/2, W/2, 1] log-depth f32."""
         wm = lambda c: max(32, int(c * self.width_mult) // 8 * 8)
         dt = self.compute_dtype
-        x = x.astype(dt)
+        x = space_to_depth(x.astype(dt), 4)  # stride 4 for free
 
-        block = ConvBlock
-        if self.remat:
-            block = nn.remat(ConvBlock)
+        stage = nn.remat(Stage) if self.remat else Stage
+        up = nn.remat(UpStage) if self.remat else UpStage
 
-        # Encoder: stem at full res, then 4 stride-2 stages.
-        # 240x320 -> 120x160 -> 60x80 -> 30x40 -> 15x20
-        x = block(wm(32), strides=1, dtype=dt, name="stem")(x)
-        skips = []
-        for i, c in enumerate(self.enc_widths):
-            x = block(wm(c), strides=2, dtype=dt, name=f"down{i}_a")(x)
-            x = block(wm(c), strides=1, dtype=dt, name=f"down{i}_b")(x)
+        # Encoder. Stage 0 runs at stride 1 (input already at stride 4).
+        widths = [wm(c) for c in self.enc_widths]
+        x = stage(widths[0], strides=1, dtype=dt, name="enc0")(x)
+        skips = [x]
+        for i, c in enumerate(widths[1:], start=1):
+            x = stage(c, strides=2, dtype=dt, name=f"enc{i}")(x)
             skips.append(x)
 
-        # Decoder: 3 bilinear x2 upsamples back to output stride 2,
-        # each fused with a skip concat + conv.  15x20 -> 120x160.
-        dec_widths = list(reversed([wm(c) for c in self.enc_widths[:-1]]))
-        for i, c in enumerate(dec_widths):
-            b, h, w, _ = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, x.shape[-1]),
-                                 method="bilinear").astype(dt)
-            skip = skips[len(dec_widths) - 1 - i]
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = block(c, strides=1, dtype=dt, name=f"up{i}")(x)
+        # Decoder back to stride 4 with additive projected skips.
+        for i, c in enumerate(reversed(widths[:-1])):
+            skip = skips[len(widths) - 2 - i]
+            x = up(c, dtype=dt, name=f"dec{i}")(x, skip)
 
-        # Head: full-precision 3x3 conv to 1 channel of log-depth.
-        x = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
+        # Head: f32 3x3 conv to 1 channel at stride 4, then bilinear x2 on
+        # the single-channel log-depth map -> stride 2.
+        y = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
                     name="head")(x.astype(jnp.float32))
-        return x
+        b, h, w, _ = y.shape
+        return jax.image.resize(y, (b, h * 2, w * 2, 1), method="bilinear")
 
     @staticmethod
     def output_hw(input_hw):

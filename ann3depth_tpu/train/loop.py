@@ -8,6 +8,7 @@ checkpointing + resume [B:5].
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Optional
 
@@ -81,6 +82,11 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             log.info("resumed from checkpoint at step %d", start_step)
 
     writer = MetricsWriter(workdir)
+    tb = None
+    if cfg.train.tensorboard:
+        from ann3depth_tpu.utils.tb_writer import TensorBoardWriter
+        tb = TensorBoardWriter(os.path.join(workdir, "tb"))
+    eval_ds = None  # built lazily at the first eval point
     sharding = meshlib.batch_sharding(mesh)
     rng = jax.random.key(cfg.train.seed)
 
@@ -109,9 +115,26 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 dt = time.perf_counter() - t0
                 ips = imgs_since / dt if dt > 0 else 0.0
                 writer.write(step_no + 1, metrics, images_per_sec=ips)
+                if tb is not None:
+                    tb.write_scalars(step_no + 1,
+                                     {**metrics, "images_per_sec": ips})
                 if progress:
                     log.info("step %d loss=%.4f rmse=%.3f %.1f img/s",
                              step_no + 1, metrics["loss"], metrics["rmse"], ips)
+                t0, imgs_since = time.perf_counter(), 0
+
+            if cfg.train.eval_every and (step_no + 1) % cfg.train.eval_every == 0:
+                if eval_ds is None:
+                    eval_ds = build_dataset(cfg, "test")
+                em = evaluate(cfg, state=state, dataset=eval_ds, max_batches=4)
+                writer.write(step_no + 1, {f"eval_{k}": v for k, v in em.items()})
+                if tb is not None:
+                    tb.write_scalars(step_no + 1,
+                                     {f"eval/{k}": v for k, v in em.items()})
+                _write_viz(cfg, state, eval_ds, workdir, step_no + 1, tb)
+                if progress:
+                    log.info("eval @%d rmse=%.3f abs_rel=%.3f", step_no + 1,
+                             em["rmse"], em["abs_rel"])
                 t0, imgs_since = time.perf_counter(), 0
 
             if (step_no + 1) % cfg.train.checkpoint_every == 0 or i == n_steps - 1:
@@ -121,7 +144,30 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         ckpt.wait()
         ckpt.close()
         writer.close()
+        if tb is not None:
+            tb.close()
     return state, metrics
+
+
+def predict_batch(cfg: Config, state, img_u8, depth):
+    """(normalized imgs, resized depth, linear pred) for viz/eval tooling."""
+    from ann3depth_tpu.pipeline import preprocess
+
+    images, depths = preprocess.preprocess_batch(
+        img_u8, depth, cfg.data.input_hw, resolved_target_hw(cfg), key=None)
+    pred_log = state.apply_fn({"params": state.params}, images)
+    return images, depths, np.exp(np.asarray(pred_log[..., 0]))
+
+
+def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
+    """Render an (rgb | gt | pred) triple grid from the eval split."""
+    from ann3depth_tpu.utils import viz
+
+    img_u8, depth = next(dataset.batches(min(4, cfg.train.batch_size),
+                                         steps=1, shuffle=False))
+    images, depths, pred = predict_batch(cfg, state, img_u8, depth)
+    return viz.write_triple_summary(workdir, step, jax.device_get(images),
+                                    jax.device_get(depths), pred, tb)
 
 
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):

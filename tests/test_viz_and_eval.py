@@ -1,0 +1,73 @@
+"""Viz utilities + in-loop eval/TB wiring tests (SURVEY §2.1 "Viz", §5)."""
+
+import dataclasses
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ann3depth_tpu.utils import viz
+
+
+def test_colormap_depth_shape_and_range():
+    d = np.linspace(1, 60, 64, dtype=np.float32).reshape(8, 8)
+    img = viz.colormap_depth(d)
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+    # near and far ends should get different colors
+    assert not np.array_equal(img[0, 0], img[-1, -1])
+
+
+def test_colormap_shared_scale():
+    d = np.full((4, 4), 10.0, np.float32)
+    a = viz.colormap_depth(d, lo=1.0, hi=100.0)
+    b = viz.colormap_depth(d * 0 + 10.0, lo=1.0, hi=100.0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_denormalize_roundtrip():
+    from ann3depth_tpu.compat import reference_spec as ref
+
+    rgb = np.full((4, 4, 3), 128, np.uint8)
+    norm = (rgb / 255.0 - np.asarray(ref.RGB_MEAN)) / np.asarray(ref.RGB_STD)
+    back = viz.denormalize_to_u8(norm.astype(np.float32))
+    np.testing.assert_allclose(back, rgb, atol=1)
+
+
+def test_triple_grid_layout():
+    b, h, w = 3, 16, 20
+    imgs = np.zeros((b, h, w, 3), np.float32)
+    gt = np.random.default_rng(0).uniform(1, 50, (b, 8, 10)).astype(np.float32)
+    pred = gt * 1.1
+    grid = viz.triple_grid(imgs, gt, pred, max_rows=2)
+    assert grid.shape == (2 * h, 3 * w, 3)  # 2 rows, 3 panels wide
+    assert grid.dtype == np.uint8
+
+
+def test_save_png(tmp_path):
+    img = np.zeros((8, 8, 3), np.uint8)
+    p = viz.save_png(str(tmp_path / "x" / "g.png"), img)
+    assert os.path.exists(p)
+
+
+def test_train_with_eval_every_and_viz(tmp_path):
+    """In-loop eval fires, writes eval_ metrics and a triple PNG."""
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, input_hw=(48, 64)),
+        train=dataclasses.replace(
+            cfg.train, steps=4, batch_size=2, eval_every=2, log_every=10,
+            checkpoint_every=100, warmup_steps=0,
+            ckpt_dir=str(tmp_path / "ckpt")),
+    )
+    looplib.train(cfg, workdir=str(tmp_path), progress=False)
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    eval_lines = [l for l in lines if "eval_rmse" in l]
+    assert len(eval_lines) == 2  # steps 2 and 4
+    pngs = glob.glob(str(tmp_path / "triples_step*.png"))
+    assert len(pngs) == 2
