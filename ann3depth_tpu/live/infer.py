@@ -75,21 +75,56 @@ class LiveEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas)
-        # compile once at startup with a dummy frame
+        # compile once at startup with a dummy frame; sync via device_get —
+        # block_until_ready returns before the (server-side) compile
+        # finishes on tunneled TPU backends (utils/tracing.py).
         dummy = jnp.zeros((1, *self.frame_hw, 3), jnp.uint8)
         d, r = self._step(dummy)
-        jax.block_until_ready((d, r))
+        jax.device_get(r[0, 0, 0])
 
     def _step(self, frame_dev):
         return live_step(self.apply_fn, self.params, frame_dev,
                          input_hw=self.input_hw, display_hw=self.display_hw,
                          use_pallas=self.use_pallas)
 
-    def infer(self, frame_u8: np.ndarray):
-        """One frame -> (depth np [h,w], rendered np [Hd,Wd,3], latency_s)."""
+    def infer(self, frame_u8: np.ndarray, fetch_depth: bool = False):
+        """One frame -> (depth, rendered np [Hd,Wd,3], latency_s).
+
+        depth is a device array unless fetch_depth (saves one D2H roundtrip
+        per frame on the latency path)."""
         t0 = time.perf_counter()
         frame_dev = jnp.asarray(frame_u8[None])
         depth, rendered = self._step(frame_dev)
         rendered = np.asarray(jax.device_get(rendered))[0]
-        depth = np.asarray(jax.device_get(depth))[0]
+        if fetch_depth:
+            depth = np.asarray(jax.device_get(depth))[0]
         return depth, rendered, time.perf_counter() - t0
+
+    # -- pipelined API: keep one frame in flight to overlap H2D/compute of
+    #    frame k+1 with the D2H of frame k (hides one tunnel RTT) --
+
+    def submit(self, frame_u8: np.ndarray):
+        """Dispatch a frame; returns an opaque in-flight token."""
+        return (self._step(jnp.asarray(frame_u8[None])), time.perf_counter())
+
+    def retrieve(self, token, fetch_depth: bool = False):
+        """Complete an in-flight token -> (depth, rendered, latency_s)."""
+        (depth, rendered), t0 = token
+        rendered = np.asarray(jax.device_get(rendered))[0]
+        if fetch_depth:
+            depth = np.asarray(jax.device_get(depth))[0]
+        return depth, rendered, time.perf_counter() - t0
+
+    def device_step_latency(self, n: int = 50) -> float:
+        """Amortized per-frame latency of the full device program with a
+        device-resident input (excludes host<->device transport): the
+        per-chip number for the <15 ms [B:5] target on hardware where the
+        chip is locally attached."""
+        frame = jnp.zeros((1, *self.frame_hw, 3), jnp.uint8)
+        d, r = self._step(frame)
+        jax.device_get(r[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            d, r = self._step(frame)
+        jax.device_get(r[0, 0, 0])
+        return (time.perf_counter() - t0) / n

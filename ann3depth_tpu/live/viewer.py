@@ -67,25 +67,28 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
             log.warning("cv2 missing; headless")
 
     latencies, shown = [], 0
+    in_flight = None  # one-deep pipeline: overlap frame k+1 with k's D2H
     t_start = time.perf_counter()
     try:
         while max_frames is None or shown < max_frames:
             frame, fid, _ = ring.pop_latest()
             if frame is None:
-                if cap.ended.is_set():
+                if cap.ended.is_set() and in_flight is None:
                     break
-                time.sleep(0.001)
-                continue
-            depth, rendered, dt = engine.infer(frame)
-            latencies.append(dt)
-            shown += 1
-            if cv2 is not None:
-                bgr = cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR)
-                cv2.imshow("ann3depth_tpu live", bgr)
-                if cv2.waitKey(1) & 0xFF == ord("q"):
-                    break
-            if cap.ended.is_set() and ring.stats()["popped"] >= ring.stats()["pushed"]:
-                break
+                if in_flight is None:
+                    time.sleep(0.001)
+                    continue
+            token = engine.submit(frame) if frame is not None else None
+            if in_flight is not None:
+                _, rendered, dt = engine.retrieve(in_flight)
+                latencies.append(dt)
+                shown += 1
+                if cv2 is not None:
+                    bgr = cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR)
+                    cv2.imshow("ann3depth_tpu live", bgr)
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        break
+            in_flight = token
     finally:
         cap.stop()
         rb_stats = ring.stats()

@@ -29,6 +29,14 @@ def run(cfg=None, frames: int = 100, record: bool = True) -> dict:
     cfg = cfg or get_config("live")
     state = looplib.create_state(cfg)  # random weights: latency-only bench
 
+    # device-resident per-frame latency (the per-chip <15ms number): the
+    # end-to-end stats below additionally pay this environment's tunnel
+    # transport (~25-105 ms/frame RTT+D2H), which a local chip does not.
+    from ann3depth_tpu.live.infer import LiveEngine
+    eng = LiveEngine(state.apply_fn, state.params, cfg.live.frame_hw,
+                     cfg.data.input_hw, display_hw=cfg.live.frame_hw)
+    dev_ms = eng.device_step_latency() * 1e3
+
     src = SyntheticSource(cfg.live.frame_hw, fps=cfg.live.target_fps)
     stats = viewer.run(cfg, display=False, max_frames=frames, source=src,
                        state=state)
@@ -37,6 +45,7 @@ def run(cfg=None, frames: int = 100, record: bool = True) -> dict:
         "frame_hw": list(cfg.live.frame_hw),
         "backend": jax.default_backend(),
         "target_p50_ms": 15.0,
+        "device_step_ms": round(dev_ms, 3),
         **stats,
         "time": time.time(),
     }
