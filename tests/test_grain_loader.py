@@ -1,0 +1,34 @@
+"""grain-backed input pipeline tests (SURVEY M2)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("grain")
+
+from ann3depth_tpu.data.synthetic import SyntheticDepthDataset  # noqa: E402
+from ann3depth_tpu.pipeline.grain_loader import grain_batches  # noqa: E402
+
+
+def test_grain_batches_shapes_and_count():
+    ds = SyntheticDepthDataset(n=12, img_hw=(24, 32), depth_hw=(12, 16))
+    batches = list(grain_batches(ds, 4, steps=3, seed=0))
+    assert len(batches) == 3
+    img, dep = batches[0]
+    assert img.shape == (4, 24, 32, 3) and img.dtype == np.uint8
+    assert dep.shape == (4, 12, 16) and dep.dtype == np.float32
+
+
+def test_grain_shuffle_is_seeded():
+    ds = SyntheticDepthDataset(n=16, img_hw=(8, 8), depth_hw=(4, 4))
+    a = [b[0] for b in grain_batches(ds, 4, steps=2, seed=7)]
+    b = [b[0] for b in grain_batches(ds, 4, steps=2, seed=7)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    c = [b[0] for b in grain_batches(ds, 4, steps=2, seed=8)]
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_grain_single_epoch_exhausts():
+    ds = SyntheticDepthDataset(n=10, img_hw=(8, 8), depth_hw=(4, 4))
+    batches = list(grain_batches(ds, 4, steps=None, shuffle=False))
+    assert len(batches) == 2  # 10 // 4, remainder dropped
