@@ -20,6 +20,11 @@ class DataConfig:
     input_hw: Tuple[int, int] = (ref.INPUT_H, ref.INPUT_W)
     target_hw: Tuple[int, int] = (ref.TARGET_H, ref.TARGET_W)
     augment: bool = False          # flip/crop/jitter (fused on device) [B:9]
+    # Device preprocess implementation: identical math either way
+    # (ops/pallas_preprocess.py). "xla" measured faster *inside* the fused
+    # train step on v5e (2.42 vs 3.02 ms/step @ b16: the custom call is a
+    # fusion barrier); "pallas" is the hand kernel (faster standalone).
+    preprocess_impl: str = "xla"   # "xla" | "pallas"
     shuffle_buffer: int = 512
     prefetch: int = 2              # depth of the double-buffered device feed
 

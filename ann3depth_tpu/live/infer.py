@@ -73,7 +73,7 @@ class LiveEngine:
         self.input_hw = tuple(input_hw)
         self.display_hw = tuple(display_hw or frame_hw)
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False  # XLA path fuses better in-program (BASELINE.md)
         self.use_pallas = bool(use_pallas)
         # compile once at startup with a dummy frame; sync via device_get —
         # block_until_ready returns before the (server-side) compile

@@ -41,6 +41,11 @@ def build_dataset(cfg: Config, split="train"):
     raise KeyError(f"unknown dataset {name!r}")
 
 
+def _use_pallas(cfg: Config) -> bool:
+    """Pallas preprocess requires a TPU backend; see DataConfig.preprocess_impl."""
+    return cfg.data.preprocess_impl == "pallas" and jax.default_backend() == "tpu"
+
+
 def resolved_target_hw(cfg: Config):
     """Depth-target resolution is a function of the model's output stride
     (e.g. encdec: 320x240 -> 160x120 [B:8]); derive it so config presets
@@ -98,8 +103,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     step_kwargs = dict(input_hw=cfg.data.input_hw,
                        target_hw=resolved_target_hw(cfg),
                        si_lambda=cfg.train.si_lambda, augment=cfg.data.augment,
-                       # fused Pallas preprocess on TPU; XLA oracle elsewhere
-                       use_pallas=jax.default_backend() == "tpu")
+                       use_pallas=_use_pallas(cfg))
     metrics = {}
     t0 = time.perf_counter()
     imgs_since = 0
@@ -188,7 +192,7 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
         m = jax.device_get(steplib.eval_step(
             state, img_u8, depth,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
-            use_pallas=jax.default_backend() == "tpu"))
+            use_pallas=_use_pallas(cfg)))
         bs = img_u8.shape[0]
         for k, v in m.items():
             totals[k] = totals.get(k, 0.0) + float(v) * bs

@@ -62,7 +62,7 @@ def main():
         pool.append((jax.device_put(img, sharding), jax.device_put(dep, sharding)))
 
     kw = dict(input_hw=INPUT_HW, target_hw=TARGET_HW, si_lambda=0.5,
-              augment=True, use_pallas=jax.default_backend() == "tpu")
+              augment=True, use_pallas=False)  # XLA preprocess: faster in-step (BASELINE.md)
 
     # NOTE: sync via device_get of a scalar, NOT block_until_ready — the
     # axon TPU tunnel acks dispatch before compute finishes, so

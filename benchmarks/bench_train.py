@@ -45,7 +45,8 @@ def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
     kw = dict(input_hw=cfg.data.input_hw,
               target_hw=looplib.resolved_target_hw(cfg),
               si_lambda=cfg.train.si_lambda, augment=True,
-              use_pallas=jax.default_backend() == "tpu")
+              use_pallas=cfg.data.preprocess_impl == "pallas"
+              and jax.default_backend() == "tpu")
 
     for i in range(warmup):
         img, dep = pool[i % len(pool)]
