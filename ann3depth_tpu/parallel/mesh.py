@@ -32,6 +32,21 @@ def create_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) 
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def create_mesh_2d(n_data: int, n_model: int,
+                   devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (data, model) mesh for dp x tp (DPT path; SURVEY §2.3 TP row).
+
+    The model axis is laid out minor (adjacent devices) so TP collectives
+    ride the shortest ICI hops."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_data * n_model:
+        raise ValueError(
+            f"need {n_data * n_model} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, "model"))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Leading-dim (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(axis_name))

@@ -1,0 +1,81 @@
+"""Tensor-parallel sharding rules for the DPT transformer (SURVEY §2.3 TP
+row): dp x tp on the fake 8-device mesh matches single-device training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ann3depth_tpu.models.dpt import DPTDepthNet
+from ann3depth_tpu.parallel import mesh as meshlib
+from ann3depth_tpu.parallel import sharding_rules as rules
+from ann3depth_tpu.train import step as steplib
+
+
+def _tiny_dpt():
+    model = DPTDepthNet(dim=64, depth=5, heads=2, fusion_features=32,
+                        tap_layers=(1, 2, 3, 4), compute_dtype=jnp.float32,
+                        remat=False)
+    params = steplib.init_params(model, (32, 32), seed=0)
+    return model, params
+
+
+def test_tp_rules_match_expected_params():
+    model, params = _tiny_dpt()
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    matched = {rules._path_str(p): rules.tp_spec_for(rules._path_str(p), l.ndim)
+               for p, l in flat}
+    hits = {p: s for p, s in matched.items() if s is not None}
+    # every block contributes q/k/v/out + 2 MLP kernels (+biases)
+    assert any("query/kernel" in p for p in hits)
+    assert any("MLP_0/Dense_0/kernel" in p for p in hits)
+    # conv params never match
+    assert not any("patch_embed" in p for p in hits)
+    assert not any("fuse" in p for p in hits)
+
+
+def test_dp_tp_matches_single_device(cpu_mesh):
+    model, params0 = _tiny_dpt()
+    tx = steplib.make_optimizer(1e-3)
+    rng = jax.random.key(0)
+    rng_np = np.random.default_rng(0)
+    batch = 8
+    img = rng_np.integers(0, 256, (batch, 40, 40, 3), dtype=np.uint8)
+    dep = rng_np.uniform(1.0, 50.0, (batch, 20, 20)).astype(np.float32)
+    kw = dict(input_hw=(32, 32), target_hw=(32, 32), si_lambda=0.5,
+              augment=False)
+
+    with jax.default_matmul_precision("highest"):
+        # single device
+        state1 = steplib.TrainState.create(
+            model.apply, jax.tree.map(jnp.copy, params0), tx)
+        s1, m1 = steplib.train_step(state1, img, dep, rng, **kw)
+
+        # dp(4) x tp(2)
+        mesh = meshlib.create_mesh_2d(4, 2, list(cpu_mesh.devices.flat))
+        params = rules.shard_params(params0, mesh, tensor_parallel=True)
+        state2 = steplib.TrainState.create(model.apply, params, tx)
+        batch_dev = meshlib.shard_batch({"i": img, "d": dep}, mesh)
+        rng_r = jax.device_put(rng, meshlib.replicated(mesh))
+        s2, m2 = steplib.train_step(state2, batch_dev["i"], batch_dev["d"],
+                                    rng_r, **kw)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-4)
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(jax.device_get(s2.params))
+    # atol 2e-3: Adam's rsqrt(v)+eps at step 1 amplifies tiny collective
+    # reduction-order differences in near-zero gradients (cf. test_parallel).
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-3)
+
+
+def test_shard_params_tp_places_on_model_axis(cpu_mesh):
+    model, params = _tiny_dpt()
+    mesh = meshlib.create_mesh_2d(4, 2, list(cpu_mesh.devices.flat))
+    sharded = rules.shard_params(params, mesh, tensor_parallel=True)
+    desc = rules.describe_sharding(sharded)
+    q = [v for k, v in desc.items() if "query/kernel" in k]
+    assert q and all("model" in v for v in q)
+    conv = [v for k, v in desc.items() if "patch_embed" in k]
+    assert conv and all("model" not in v for v in conv)
