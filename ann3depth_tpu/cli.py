@@ -32,6 +32,8 @@ def _common_flags(p):
     p.add_argument("--steps", type=int)
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--seed", type=int)
+    p.add_argument("--preprocess-impl", choices=["xla", "pallas"],
+                   help="device preprocess implementation (see DataConfig)")
 
 
 def _resolve(args) -> cfglib.Config:
@@ -45,6 +47,7 @@ def _resolve(args) -> cfglib.Config:
     if args.steps: train["steps"] = args.steps
     if args.learning_rate: train["learning_rate"] = args.learning_rate
     if args.seed is not None: train["seed"] = args.seed
+    if getattr(args, "preprocess_impl", None): data["preprocess_impl"] = args.preprocess_impl
     if getattr(args, "resume", False): train["resume"] = True
     if getattr(args, "tensorboard", False): train["tensorboard"] = True
     if getattr(args, "augment", False): data["augment"] = True

@@ -25,7 +25,6 @@ class DataConfig:
     # train step on v5e (2.42 vs 3.02 ms/step @ b16: the custom call is a
     # fusion barrier); "pallas" is the hand kernel (faster standalone).
     preprocess_impl: str = "xla"   # "xla" | "pallas"
-    shuffle_buffer: int = 512
     prefetch: int = 2              # depth of the double-buffered device feed
 
 
@@ -34,6 +33,7 @@ class ModelConfig:
     name: str = "encdec"           # registry key (models/registry.py)
     compute_dtype: str = "bfloat16"  # MXU-native compute; params stay f32
     width_mult: float = 1.0
+    remat: bool = False            # jax.checkpoint stage blocks (HBM vs FLOPs)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,7 +50,6 @@ class TrainConfig:
     tensorboard: bool = False  # also write tf.summary event files
     seed: int = 0
     si_lambda: float = ref.SI_LOSS_LAMBDA
-    remat: bool = False            # jax.checkpoint the encoder to save HBM
     data_axis: str = "data"        # mesh axis name for DP sharding
 
 
@@ -60,7 +59,6 @@ class LiveConfig:
     target_fps: int = 30
     ring_capacity: int = 8
     camera_index: int = 0
-    micro_batch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,8 +109,8 @@ PRESETS = {
             "input_hw": (ref.DPT_RES, ref.DPT_RES),
             "target_hw": (ref.DPT_RES, ref.DPT_RES),
         },
-        model={"name": "dpt"},
-        train={"batch_size": 8, "remat": True},
+        model={"name": "dpt", "remat": True},
+        train={"batch_size": 8},
     ),
     # Test/smoke preset: synthetic data, tiny everything.
     "smoke": _cfg(

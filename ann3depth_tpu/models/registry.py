@@ -51,13 +51,14 @@ def _small(cfg: ModelConfig):
 @register("encdec")
 def _encdec(cfg: ModelConfig):
     from ann3depth_tpu.models.encdec import EncDecDepthNet
-    return EncDecDepthNet(width_mult=cfg.width_mult, compute_dtype=_dtype(cfg))
+    return EncDecDepthNet(width_mult=cfg.width_mult, compute_dtype=_dtype(cfg),
+                          remat=cfg.remat)
 
 
 @register("dpt")
 def _dpt(cfg: ModelConfig):
     from ann3depth_tpu.models.dpt import DPTDepthNet
-    return DPTDepthNet(compute_dtype=_dtype(cfg))
+    return DPTDepthNet(compute_dtype=_dtype(cfg), remat=cfg.remat)
 
 
 def output_hw(name: str, input_hw):

@@ -1,0 +1,66 @@
+"""Config-preset traceability tests: each BASELINE.json config [B:7-11]
+resolves, builds its model, and (config 1) runs its exact shape contract."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ann3depth_tpu.config import PRESETS, get_config
+from ann3depth_tpu.models import registry
+from ann3depth_tpu.train import loop as looplib
+from ann3depth_tpu.train import step as steplib
+
+
+@pytest.mark.parametrize("name", sorted(PRESETS))
+def test_preset_resolves_and_builds(name):
+    cfg = get_config(name)
+    model = registry.build(cfg.model)
+    assert model is not None
+    # target resolution derives from the model's output stride
+    th, tw = looplib.resolved_target_hw(cfg)
+    assert th > 0 and tw > 0
+
+
+def test_unknown_preset_raises():
+    with pytest.raises(KeyError, match="unknown config"):
+        get_config("nope")
+
+
+def test_config1_small_batch1_cpu_full_res():
+    """[B:7]: single 320x240 image -> 3-conv net, batch=1 — exact shapes,
+    full train step on CPU."""
+    cfg = get_config("make3d-small")
+    assert cfg.train.batch_size == 1
+    assert cfg.data.input_hw == (240, 320)
+    model = registry.build(cfg.model)
+    params = steplib.init_params(model, cfg.data.input_hw)
+    tx = steplib.make_optimizer(1e-3)
+    state = steplib.TrainState.create(model.apply, params, tx)
+    rng_np = np.random.default_rng(0)
+    img = jnp.asarray(rng_np.integers(0, 256, (1, 480, 640, 3), dtype=np.uint8))
+    dep = jnp.asarray(rng_np.uniform(1, 60, (1, 305, 55)).astype(np.float32))
+    state, m = steplib.train_step(
+        state, img, dep, jax.random.key(0),
+        input_hw=cfg.data.input_hw,
+        target_hw=looplib.resolved_target_hw(cfg), augment=False)
+    assert np.isfinite(float(m["loss"]))
+    # coarse head: 320x240 -> 40x30 [B:7 "coarse depth"]
+    assert looplib.resolved_target_hw(cfg) == (30, 40)
+
+
+def test_dpt_preset_has_remat():
+    cfg = get_config("dpt-384")
+    assert cfg.model.remat is True
+    assert cfg.data.input_hw == (384, 384)
+
+
+def test_cli_preprocess_impl_flag():
+    from ann3depth_tpu.cli import build_parser, _resolve
+
+    args = build_parser().parse_args(
+        ["train", "--config", "smoke", "--preprocess-impl", "pallas"])
+    cfg = _resolve(args)
+    assert cfg.data.preprocess_impl == "pallas"
