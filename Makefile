@@ -14,7 +14,7 @@ test:
 	$(PY) -m pytest tests/ -q
 
 test-fast:
-	$(PY) -m pytest tests/ -q -x -k "not stress and not integration"
+	$(PY) -m pytest tests/ -q -x -m "not slow"
 
 download-make3d:
 	$(PY) -m ann3depth_tpu download --dataset make3d --data-dir $(DATA_DIR)

@@ -87,6 +87,15 @@ def build_parser():
     pd.add_argument("--dataset", required=True, choices=["make3d", "nyu"])
     pd.add_argument("--data-dir", default="data")
 
+    pp = sub.add_parser("prepare", help="pack a dataset into record shards "
+                        "(decode once, train many times)")
+    pp.add_argument("--dataset", required=True,
+                    choices=["make3d", "nyu", "synthetic"])
+    pp.add_argument("--data-dir", default="data")
+    pp.add_argument("--out-dir", help="default: <data-dir>/records")
+    pp.add_argument("--split", default="train", choices=["train", "test"])
+    pp.add_argument("--shard-size", type=int, default=64)
+
     pb = sub.add_parser("bench", help="run the benchmark suite")
     _common_flags(pb)
     return p
@@ -125,6 +134,26 @@ def main(argv=None):
     if args.mode == "download":
         from ann3depth_tpu.data import download
         download.download(args.dataset, args.data_dir)
+        return 0
+
+    if args.mode == "prepare":
+        import os
+
+        from ann3depth_tpu.data import records
+
+        if args.dataset == "synthetic":
+            from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+            ds = SyntheticDepthDataset()
+        elif args.dataset == "make3d":
+            from ann3depth_tpu.data.make3d import Make3DDataset
+            ds = Make3DDataset(args.data_dir, split=args.split)
+        else:
+            from ann3depth_tpu.data.nyu import NYUDataset
+            ds = NYUDataset(args.data_dir, split=args.split)
+        out_dir = args.out_dir or os.path.join(args.data_dir, "records")
+        index = records.pack(ds, out_dir, args.split,
+                             shard_size=args.shard_size)
+        print(json.dumps({"index": index, "examples": len(ds)}))
         return 0
 
     if args.mode == "bench":

@@ -27,11 +27,23 @@ log = logging.getLogger(__name__)
 
 
 def build_dataset(cfg: Config, split="train"):
-    """Dataset factory: name -> raw (uint8 rgb, f32 depth) batch source."""
+    """Dataset factory: name -> raw (uint8 rgb, f32 depth) batch source.
+
+    Prefers pre-packed record shards (`prepare` subcommand) when present —
+    zero decode work per epoch; falls back to the raw-file loaders.
+    """
     name = cfg.data.datasets[0]
     if name == "synthetic":
         from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
         return SyntheticDepthDataset(seed=0 if split == "train" else 1)
+
+    from ann3depth_tpu.data import records
+    index = records.find_index(
+        os.path.join(cfg.data.data_dir, "records"), name, split)
+    if index:
+        log.info("using packed records: %s", index)
+        return records.RecordDataset(index)
+
     if name == "make3d":
         from ann3depth_tpu.data.make3d import Make3DDataset
         return Make3DDataset(cfg.data.data_dir, split=split)

@@ -119,6 +119,42 @@ def test_nyu_missing_raises(tmp_path):
         NYUDataset(str(tmp_path))
 
 
+def test_cli_prepare_synthetic(tmp_path, capsys):
+    """`prepare` packs a dataset; training then picks up the records."""
+    import json
+
+    from ann3depth_tpu.cli import main
+
+    rc = main(["prepare", "--dataset", "synthetic",
+               "--data-dir", str(tmp_path), "--shard-size", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["examples"] == 64 and os.path.exists(out["index"])
+
+    from ann3depth_tpu.data.records import RecordDataset
+    packed = RecordDataset(out["index"])
+    assert len(packed) == 64
+
+
+def test_build_dataset_prefers_records(tmp_path):
+    import dataclasses
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.data.records import pack
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+    from ann3depth_tpu.train.loop import build_dataset
+
+    src = SyntheticDepthDataset(n=6, img_hw=(16, 16), depth_hw=(8, 8))
+    src.name = "make3d"  # pretend these are packed make3d records
+    pack(src, str(tmp_path / "records"), "train", shard_size=4)
+
+    cfg = get_config("make3d-encdec")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, data_dir=str(tmp_path)))
+    ds = build_dataset(cfg, "train")  # raw tree absent -> records win
+    assert len(ds) == 6
+
+
 def test_records_pack_roundtrip(tmp_path):
     from ann3depth_tpu.data.records import RecordDataset, pack
     from ann3depth_tpu.data.synthetic import SyntheticDepthDataset

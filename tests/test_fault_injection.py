@@ -21,6 +21,7 @@ sys.exit(main([
 """
 
 
+@pytest.mark.slow
 def test_kill_midrun_then_resume(tmp_path):
     ckpt_dir, workdir = str(tmp_path / "ckpt"), str(tmp_path / "wd")
     env = dict(os.environ, JAX_PLATFORMS="cpu",

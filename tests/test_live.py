@@ -65,6 +65,7 @@ def test_ring_overwrite_wraps(ring_kind):
 
 
 @pytest.mark.parametrize("kind", ["native", "python"])
+@pytest.mark.slow
 def test_ring_stress_no_torn_frames(kind):
     """TSan-style stress (SURVEY §5): producer hammers, consumer validates
     every popped frame is internally consistent (all bytes equal)."""
@@ -112,6 +113,7 @@ def test_capture_thread_synthetic():
     ring.close()
 
 
+@pytest.mark.slow
 def test_live_loop_headless(tmp_path):
     """End-to-end: synthetic source -> ring -> engine -> stats [B:10]."""
     import dataclasses

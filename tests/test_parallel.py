@@ -32,6 +32,7 @@ def test_mesh_has_8_fake_devices(cpu_mesh):
     assert cpu_mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(cpu_mesh):
     """One DP step over 8 devices == one single-device step (tolerance:
     f32 reduction reassociation)."""
@@ -86,6 +87,7 @@ def test_graft_entry_single():
     assert out.shape[0] == args[1].shape[0] and out.ndim == 4
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 

@@ -34,6 +34,7 @@ def test_tp_rules_match_expected_params():
     assert not any("fuse" in p for p in hits)
 
 
+@pytest.mark.slow
 def test_dp_tp_matches_single_device(cpu_mesh):
     model, params0 = _tiny_dpt()
     tx = steplib.make_optimizer(1e-3)

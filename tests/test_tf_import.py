@@ -34,6 +34,7 @@ def _write_tf_ckpt(path, flat: dict):
             return saver.save(sess, path)
 
 
+@pytest.mark.slow
 def test_roundtrip_identity_map(small_model, tmp_path):
     model, params = small_model
     flat = tfi._flatten_with_paths(params)
@@ -51,6 +52,7 @@ def test_roundtrip_identity_map(small_model, tmp_path):
         np.testing.assert_allclose(got[p], perturbed[p], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_shape_mismatch_is_loud(small_model, tmp_path):
     model, params = small_model
     flat = tfi._flatten_with_paths(params)
@@ -61,6 +63,7 @@ def test_shape_mismatch_is_loud(small_model, tmp_path):
         tfi.import_checkpoint(ckpt, params)
 
 
+@pytest.mark.slow
 def test_missing_variable_is_loud(small_model, tmp_path):
     model, params = small_model
     flat = tfi._flatten_with_paths(params)

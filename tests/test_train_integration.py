@@ -21,6 +21,7 @@ def _smoke_cfg(tmp_path, **train_overrides):
     return dataclasses.replace(cfg, train=train, data=data)
 
 
+@pytest.mark.slow
 def test_train_loss_decreases(tmp_path):
     cfg = _smoke_cfg(tmp_path, steps=60, batch_size=4, learning_rate=3e-3,
                      log_every=10, checkpoint_every=1000, warmup_steps=0)
