@@ -128,18 +128,22 @@ class DPTDepthNet(nn.Module):
 
         skips = [reassemble(t, f"reassemble{i}") for i, t in enumerate(taps)]
 
+        # Fusion runs to stride 2 (3 upsampling stages); the final x2 to
+        # full resolution happens on the 1-channel depth map — feature maps
+        # at 384^2 were the dominant cost of the head (DPT itself predicts
+        # below input resolution and resizes).
         fuse = nn.remat(FusionBlock) if self.remat else FusionBlock
         y = skips[-1]
-        y = fuse(self.fusion_features, dtype=dt, name="fuse3")(y)         # 2x
+        y = fuse(self.fusion_features, dtype=dt, name="fuse3")(y, skips[-4])              # 2x
         y = fuse(self.fusion_features, dtype=dt, name="fuse2")(y, _up(skips[-2], 2, dt))   # 4x
-        y = fuse(self.fusion_features, dtype=dt, name="fuse1")(y, _up(skips[-3], 4, dt))   # 8x
-        y = fuse(self.fusion_features, dtype=dt, name="fuse0")(y, _up(skips[-4], 8, dt))   # 16x = full res
+        y = fuse(self.fusion_features, dtype=dt, name="fuse1")(y, _up(skips[-3], 4, dt))   # 8x = stride 2
 
         y = nn.Conv(64, (3, 3), padding="SAME", dtype=dt, name="head1")(y)
         y = nn.relu(y)
         y = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
                     name="head2")(y.astype(jnp.float32))
-        return y
+        b2, hh, ww, _ = y.shape
+        return jax.image.resize(y, (b2, hh * 2, ww * 2, 1), method="bilinear")
 
     @staticmethod
     def output_hw(input_hw):
