@@ -51,11 +51,26 @@ class DeviceFeed:
             for batch in self._host_iter:
                 if self._stop.is_set():
                     return
-                self._q.put(self._put_device(batch))
+                item = self._put_device(batch)
+                # stop-aware put: close() may have drained and gone away
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # surface in consumer thread
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            # deliver the sentinel without deadlocking if the consumer is
+            # gone (queue full + nobody draining after close()).
+            while True:
+                try:
+                    self._q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        break
 
     def __iter__(self):
         return self

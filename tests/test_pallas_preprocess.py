@@ -121,6 +121,27 @@ def test_preprocess_batch_eval_path_values():
     np.testing.assert_allclose(np.asarray(dp), 7.0, rtol=1e-4)
 
 
+def test_flip_of_crop_equals_reversed_crop():
+    """Flip composed with crop-zoom == column-reverse of the plain crop."""
+    x = _frames(1, 24, 32)
+    oy = jnp.full((), 0.3)
+    base = pp.identity_params(1, (24, 32), (12, 16))
+
+    sx, scx = rz.window_params(32, 16, crop_start=oy, crop_frac=0.875)
+    p_crop = base.at[0, 2].set(sx).at[0, 3].set(scx)
+    fx, fcx = rz.window_params(32, 16, crop_start=oy, crop_frac=0.875,
+                               flip=jnp.ones((), bool))
+    p_flip = base.at[0, 2].set(fx).at[0, 3].set(fcx)
+
+    crop = pp.oracle_preprocess(jnp.asarray(x), p_crop, out_hw=(12, 16),
+                                norm=False)
+    flip = pp.oracle_preprocess(jnp.asarray(x), p_flip, out_hw=(12, 16),
+                                norm=False)
+    np.testing.assert_allclose(np.asarray(flip),
+                               np.asarray(crop)[:, :, ::-1], rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_augment_params_deterministic():
     p1 = pp.augment_params(jax.random.key(9), 4, (32, 40), (16, 20))
     p2 = pp.augment_params(jax.random.key(9), 4, (32, 40), (16, 20))
