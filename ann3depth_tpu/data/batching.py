@@ -1,0 +1,45 @@
+"""Shared epoch/shuffle/stack batch iterator for all loader-protocol
+datasets (make3d, nyu, records, synthetic) — one implementation so epoch
+semantics can't diverge.
+
+Semantics:
+- steps=None: exactly one (re)shuffled epoch.
+- steps=N: repeat reshuffled epochs until N batches have been yielded;
+  the step bound is checked BEFORE yielding, so steps=0 yields nothing
+  (resume-of-a-finished-run must not run extra steps).
+- drop_remainder=True drops the trailing partial batch.
+- batch_size > len(dataset) with drop_remainder is a hard error (it would
+  otherwise spin forever yielding nothing inside the feed thread).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def iter_batches(dataset, batch_size: int, *, steps: Optional[int] = None,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_remainder: bool = True) -> Iterator:
+    n = len(dataset)
+    if drop_remainder and batch_size > n:
+        raise ValueError(
+            f"batch_size {batch_size} > dataset size {n} with "
+            f"drop_remainder: no full batch can ever be formed")
+    rng = np.random.default_rng(seed)
+    step = 0
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        last = n - (batch_size - 1 if drop_remainder else 0)
+        for s in range(0, last, batch_size):
+            if steps is not None and step >= steps:
+                return
+            idx = order[s:s + batch_size]
+            imgs, deps = zip(*(dataset[int(i)] for i in idx))
+            yield np.stack(imgs), np.stack(deps)
+            step += 1
+        if steps is None:
+            return
+        if steps is not None and step >= steps:
+            return

@@ -126,26 +126,12 @@ class Make3DDataset:
 
     def batches(self, batch_size, *, steps=None, shuffle=True, seed=0,
                 drop_remainder=True):
-        """Yield raw host batches (uint8 [B,H,W,3], f32 [B,dh,dw]).
+        """Yield stacked raw batches via the shared epoch iterator
+        (data/batching.py — one implementation, shared semantics)."""
+        from ann3depth_tpu.data.batching import iter_batches
 
-        Infinite (reshuffled epochs) when steps is given; single epoch when
-        steps is None.
-        """
-        rng = np.random.default_rng(seed)
-        n = len(self)
-        step = 0
-        while True:
-            order = rng.permutation(n) if shuffle else np.arange(n)
-            last = n - (batch_size - 1 if drop_remainder else 0)
-            for s in range(0, last, batch_size):
-                idx = order[s:s + batch_size]
-                imgs, deps = zip(*(self[int(i)] for i in idx))
-                yield np.stack(imgs), np.stack(deps)
-                step += 1
-                if steps is not None and step >= steps:
-                    return
-            if steps is None:
-                return
+        return iter_batches(self, batch_size, steps=steps, shuffle=shuffle,
+                            seed=seed, drop_remainder=drop_remainder)
 
 
 def _resize_depth_np(depth: np.ndarray, hw) -> np.ndarray:

@@ -53,21 +53,12 @@ class NYUDataset:
 
     def batches(self, batch_size, *, steps=None, shuffle=True, seed=0,
                 drop_remainder=True):
-        rng = np.random.default_rng(seed)
-        n = len(self)
-        step = 0
-        while True:
-            order = rng.permutation(n) if shuffle else np.arange(n)
-            last = n - (batch_size - 1 if drop_remainder else 0)
-            for s in range(0, last, batch_size):
-                idx = order[s:s + batch_size]
-                imgs, deps = zip(*(self[int(i)] for i in idx))
-                yield np.stack(imgs), np.stack(deps)
-                step += 1
-                if steps is not None and step >= steps:
-                    return
-            if steps is None:
-                return
+        """Yield stacked raw batches via the shared epoch iterator
+        (data/batching.py — one implementation, shared semantics)."""
+        from ann3depth_tpu.data.batching import iter_batches
+
+        return iter_batches(self, batch_size, steps=steps, shuffle=shuffle,
+                            seed=seed, drop_remainder=drop_remainder)
 
     def close(self):
         self._f.close()

@@ -71,18 +71,12 @@ class SyntheticDepthDataset:
         rng = np.random.default_rng(self.seed * 100003 + i)
         return make_scene(rng, self.img_hw, self.depth_hw)
 
-    def batches(self, batch_size, *, steps=None, shuffle=True, seed=0, drop_remainder=True):
-        """Yield stacked raw batches: (rgb_u8 [B,H,W,3], depth [B,dh,dw])."""
-        rng = np.random.default_rng(seed)
-        step = 0
-        while steps is None or step < steps:
-            order = rng.permutation(self.n) if shuffle else np.arange(self.n)
-            for s in range(0, self.n - (batch_size - 1 if drop_remainder else 0), batch_size):
-                idx = order[s:s + batch_size]
-                imgs, depths = zip(*(self[int(i)] for i in idx))
-                yield np.stack(imgs), np.stack(depths)
-                step += 1
-                if steps is not None and step >= steps:
-                    return
-            if steps is None:
-                return
+    def batches(self, batch_size, *, steps=None, shuffle=True, seed=0,
+                drop_remainder=True):
+        """Yield stacked raw batches via the shared epoch iterator
+        (data/batching.py — one implementation, shared semantics)."""
+        from ann3depth_tpu.data.batching import iter_batches
+
+        return iter_batches(self, batch_size, steps=steps, shuffle=shuffle,
+                            seed=seed, drop_remainder=drop_remainder)
+

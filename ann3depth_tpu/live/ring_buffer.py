@@ -45,7 +45,21 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                 log.warning("native ringbuffer build failed (%s); using "
                             "python fallback", e)
                 return None
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            # stale/incompatible prebuilt .so (other arch): rebuild once,
+            # then fall back to the pure-Python ring.
+            log.warning("loading %s failed (%s); rebuilding", _SO, e)
+            try:
+                subprocess.run(["g++", "-O2", "-shared", "-fPIC",
+                                "-std=c++17", "-o", _SO, _SRC],
+                               check=True, capture_output=True)
+                lib = ctypes.CDLL(_SO)
+            except (OSError, subprocess.CalledProcessError) as e2:
+                log.warning("native ringbuffer unavailable (%s); python "
+                            "fallback", e2)
+                return None
         lib.rb_create.restype = ctypes.c_void_p
         lib.rb_create.argtypes = [ctypes.c_uint32, ctypes.c_uint64]
         lib.rb_destroy.argtypes = [ctypes.c_void_p]

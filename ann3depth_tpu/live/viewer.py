@@ -68,16 +68,21 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
 
     latencies, shown = [], 0
     in_flight = None  # one-deep pipeline: overlap frame k+1 with k's D2H
+    last_fid = -1     # pop_latest re-returns the newest frame; dedup by id
     t_start = time.perf_counter()
     try:
         while max_frames is None or shown < max_frames:
             frame, fid, _ = ring.pop_latest()
+            if fid == last_fid:
+                frame = None  # no NEW frame yet
             if frame is None:
                 if cap.ended.is_set() and in_flight is None:
                     break
                 if in_flight is None:
                     time.sleep(0.001)
                     continue
+            else:
+                last_fid = fid
             token = engine.submit(frame) if frame is not None else None
             if in_flight is not None:
                 _, rendered, dt = engine.retrieve(in_flight)

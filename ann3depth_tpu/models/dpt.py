@@ -132,11 +132,13 @@ class DPTDepthNet(nn.Module):
         # full resolution happens on the 1-channel depth map — feature maps
         # at 384^2 were the dominant cost of the head (DPT itself predicts
         # below input resolution and resizes).
+        # Monotonic deepest-to-shallowest skip order (standard DPT): the
+        # coarsest refinement consumes the deepest remaining tap.
         fuse = nn.remat(FusionBlock) if self.remat else FusionBlock
         y = skips[-1]
-        y = fuse(self.fusion_features, dtype=dt, name="fuse3")(y, skips[-4])              # 2x
-        y = fuse(self.fusion_features, dtype=dt, name="fuse2")(y, _up(skips[-2], 2, dt))   # 4x
-        y = fuse(self.fusion_features, dtype=dt, name="fuse1")(y, _up(skips[-3], 4, dt))   # 8x = stride 2
+        y = fuse(self.fusion_features, dtype=dt, name="fuse3")(y, skips[-2])               # 2x
+        y = fuse(self.fusion_features, dtype=dt, name="fuse2")(y, _up(skips[-3], 2, dt))   # 4x
+        y = fuse(self.fusion_features, dtype=dt, name="fuse1")(y, _up(skips[-4], 4, dt))   # 8x = stride 2
 
         y = nn.Conv(64, (3, 3), padding="SAME", dtype=dt, name="head1")(y)
         y = nn.relu(y)

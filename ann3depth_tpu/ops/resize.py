@@ -39,7 +39,7 @@ def window_params(in_size, out_size, *, crop_start=None, crop_frac=1.0,
     win = in_size * crop_frac
     scale = win / out_size
     if crop_start is None:
-        off = (in_size - win) * 0.5 * 0.0  # full frame: offset 0 when frac=1
+        off = (in_size - win) * 0.5  # centered window (0 when frac=1)
     else:
         off = crop_start * (in_size - win)
     start = off

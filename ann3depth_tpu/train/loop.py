@@ -204,7 +204,7 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
         m = jax.device_get(steplib.eval_step(
             state, img_u8, depth,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
-            use_pallas=_use_pallas(cfg)))
+            si_lambda=cfg.train.si_lambda, use_pallas=_use_pallas(cfg)))
         bs = img_u8.shape[0]
         for k, v in m.items():
             totals[k] = totals.get(k, 0.0) + float(v) * bs

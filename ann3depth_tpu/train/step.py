@@ -104,16 +104,20 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
 
 
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
-                                             "use_pallas"))
+                                             "si_lambda", "use_pallas"))
 def eval_step(state: TrainState, img_u8, depth_raw, *, input_hw, target_hw,
-              use_pallas=False):
-    """Eval: preprocess -> forward -> full metric dict (no augmentation)."""
+              si_lambda=0.5, use_pallas=False):
+    """Eval: preprocess -> forward -> full metric dict (no augmentation).
+
+    si_lambda must match the training config so train/eval loss curves are
+    comparable."""
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=None,
         use_pallas=use_pallas)
     pred_log = state.apply_fn({"params": state.params}, images)
     m = losses.depth_metrics(pred_log, depths)
-    m["loss"] = losses.scale_invariant_log_loss(pred_log, depths)
+    m["loss"] = losses.scale_invariant_log_loss(pred_log, depths,
+                                                lam=si_lambda)
     return m
 
 

@@ -44,6 +44,26 @@ def test_checkpoint_resume_continues_step_counter(tmp_path):
     assert int(state2.step) == 15
 
 
+def test_resume_of_finished_run_is_noop(tmp_path):
+    """Resuming at steps == configured total must not run extra steps."""
+    cfg = _smoke_cfg(tmp_path, steps=6, batch_size=2, checkpoint_every=3,
+                     log_every=100, warmup_steps=0)
+    state, _ = looplib.train(cfg, workdir=str(tmp_path), progress=False)
+    assert int(state.step) == 6
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resume=True))
+    state2, _ = looplib.train(cfg2, workdir=str(tmp_path), progress=False)
+    assert int(state2.step) == 6  # no overshoot
+
+
+def test_batch_size_larger_than_dataset_raises():
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+
+    ds = SyntheticDepthDataset(n=3, img_hw=(8, 8), depth_hw=(4, 4))
+    with pytest.raises(ValueError, match="batch_size"):
+        next(ds.batches(8, steps=1))
+
+
 def test_resume_reproduces_params(tmp_path):
     """Killing the trainer and resuming must restore identical params
     (fault-injection surface, SURVEY §5 'Failure detection')."""
