@@ -44,3 +44,6 @@ native:
 
 clean:
 	rm -rf native/build benchmarks/results.jsonl
+
+perf-check:
+	$(PY) -m benchmarks.check_regression

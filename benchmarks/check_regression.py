@@ -1,0 +1,65 @@
+"""Performance regression gate (SURVEY §4.7): assert current numbers
+against recorded floors on real TPU hardware.
+
+Run on a TPU host:  python -m benchmarks.check_regression
+(exit code 1 on regression; also appended to results.jsonl).
+
+Floors are deliberately ~25% below the round-1 measured values in
+BASELINE.md so environment noise doesn't flake the gate, while real
+regressions (a de-fused step, a lost layout) trip it.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# floor, measured round-1 reference (BASELINE.md)
+FLOORS = {
+    "encdec_b16_images_per_sec": (5000.0, 6868.0),
+    "dpt384_b8_images_per_sec": (400.0, 540.0),
+    "live_device_step_ms_max": (5.0, 1.55),  # upper bound
+}
+
+
+def main() -> int:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"skipped": "perf gate requires a TPU backend",
+                          "backend": jax.default_backend()}))
+        return 0
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.live.infer import LiveEngine
+    from ann3depth_tpu.train import loop as looplib
+    from benchmarks import bench_train
+
+    results, failures = {}, []
+
+    r = bench_train.run(get_config("make3d-encdec"), steps=60, record=False)
+    results["encdec_b16_images_per_sec"] = r["images_per_sec"]
+
+    r = bench_train.run(get_config("dpt-384"), steps=30, record=False)
+    results["dpt384_b8_images_per_sec"] = r["images_per_sec"]
+
+    cfg = get_config("live")
+    state = looplib.create_state(cfg)
+    eng = LiveEngine(state.apply_fn, state.params, cfg.live.frame_hw,
+                     cfg.data.input_hw, display_hw=cfg.live.frame_hw)
+    results["live_device_step_ms_max"] = eng.device_step_latency() * 1e3
+
+    for key, (floor, ref) in FLOORS.items():
+        value = results[key]
+        ok = value <= floor if key.endswith("_max") else value >= floor
+        if not ok:
+            failures.append({"metric": key, "value": value, "floor": floor,
+                             "round1_ref": ref})
+
+    print(json.dumps({"results": {k: round(v, 2) for k, v in results.items()},
+                      "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
