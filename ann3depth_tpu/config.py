@@ -50,7 +50,6 @@ class TrainConfig:
     tensorboard: bool = False  # also write tf.summary event files
     seed: int = 0
     si_lambda: float = ref.SI_LOSS_LAMBDA
-    data_axis: str = "data"        # mesh axis name for DP sharding
 
 
 @dataclasses.dataclass(frozen=True)
