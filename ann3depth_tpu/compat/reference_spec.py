@@ -53,6 +53,15 @@ RGB_STD = (0.229, 0.224, 0.225)
 MAKE3D_DEPTH_CAP = 70.0
 DEPTH_EPS = 1e-6  # numerical floor before log()
 
+# Depth resampling validity (ADVICE r1): invalid source pixels (outside
+# (DEPTH_EPS, MAKE3D_DEPTH_CAP]) must not bleed into valid neighbors through
+# the resize triangle weights. Depth is resampled as resize(d*v)/resize(v);
+# an output pixel counts as valid only when at least this fraction of its
+# resample footprint was valid (else it is written as 0, which every
+# downstream mask excludes via the DEPTH_EPS check). FLAGGED CHOICE:
+# majority-valid footprint.
+DEPTH_VALID_RESAMPLE_THRESH = 0.5
+
 # ---------------------------------------------------------------------------
 # Loss. [B:5]: scale-invariant log-depth loss, Eigen et al. 2014 form:
 #   d_i = log(pred_i) - log(gt_i)

@@ -19,6 +19,10 @@ Design (ops/resize.py has the shared math):
   the post-crop mean — all VPU work fused after the matmuls.
 - Depth maps run through the same kernel with C=1 and an output scale
   (crop-zoom divides depth by the zoom ratio to keep geometry consistent).
+  Depth resampling is mask-aware: invalid laser pixels (zero / saturated
+  beyond MAKE3D_DEPTH_CAP) are excluded by resampling d*v and v through the
+  same triangle weights and renormalizing; sub-threshold footprints emit 0
+  (= invalid downstream). See reference_spec.DEPTH_VALID_RESAMPLE_THRESH.
 - Precision: X converts u8->f32; the row matmul runs f32 (Ay is small);
   the column matmul runs bf16 x bf16 -> f32 on the MXU (T is the big
   operand; bf16 halves its VMEM). End-to-end error vs the f32 XLA oracle
@@ -123,6 +127,12 @@ def _preprocess_kernel(p_ref, x_ref, o_ref, *, in_hw, out_hw, channels,
     if x.dtype == jnp.uint8:
         x = x.astype(jnp.int32)  # Mosaic lacks a direct u8->f32 cast
     x = x.astype(jnp.float32)
+    if depth_mode:
+        # Validity decided on the RAW laser grid, before any blending:
+        # resample d*v and v through the same weights, renormalize below.
+        v = ((x > ref.DEPTH_EPS) & (x <= ref.MAKE3D_DEPTH_CAP)).astype(
+            jnp.float32)
+        x = x * v
     r = jnp.dot(ay, x, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 
@@ -132,8 +142,16 @@ def _preprocess_kernel(p_ref, x_ref, o_ref, *, in_hw, out_hw, channels,
                 preferred_element_type=jnp.float32)
 
     if depth_mode:
-        # Depth: no normalization; scale values by the crop-zoom ratio.
-        o_ref[0] = z * out_scale
+        # Mask-aware renormalization; no normalization/photometrics for
+        # depth; crop-zoom scales values by out_scale. Sub-threshold
+        # footprints emit 0 = invalid (reference_spec).
+        rv = jnp.dot(ay, v, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        zv = jnp.dot(rv.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        d = z / jnp.maximum(zv, 1e-6)
+        o_ref[0] = jnp.where(zv >= ref.DEPTH_VALID_RESAMPLE_THRESH,
+                             d * out_scale, 0.0)
         return
 
     if norm:
@@ -226,10 +244,18 @@ def oracle_preprocess(frames, params, *, out_hw, norm=True, depth_mode=False):
         ay = triangle_matrix(h_out, h_in, y_start, y_scale)
         ax = triangle_matrix(w_out, w_in, x_start, x_scale)
         x = frame.astype(jnp.float32)
+        if depth_mode:
+            v = ((x > ref.DEPTH_EPS) & (x <= ref.MAKE3D_DEPTH_CAP)).astype(
+                jnp.float32)
+            x = x * v
         z = jnp.einsum("oh,hwc->owc", ay, x, precision=hi)
         z = jnp.einsum("pw,owc->opc", ax, z, precision=hi)
         if depth_mode:
-            return z * out_scale
+            zv = jnp.einsum("oh,hwc->owc", ay, v, precision=hi)
+            zv = jnp.einsum("pw,owc->opc", ax, zv, precision=hi)
+            d = z / jnp.maximum(zv, 1e-6)
+            return jnp.where(zv >= ref.DEPTH_VALID_RESAMPLE_THRESH,
+                             d * out_scale, 0.0)
         if norm:
             mean = jnp.asarray(ref.RGB_MEAN, jnp.float32)
             std = jnp.asarray(ref.RGB_STD, jnp.float32)

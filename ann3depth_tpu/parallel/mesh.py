@@ -59,16 +59,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Place a host batch (pytree of arrays) sharded over the data axis.
 
-    Requires batch size divisible by mesh size — enforced loudly because XLA
-    would otherwise pad silently and corrupt the loss mean.
+    Requires batch size divisible by the DATA-axis size (not the total mesh
+    size: on a 2-D dp x tp mesh only the data axis splits the batch) —
+    enforced loudly because XLA would otherwise pad silently and corrupt the
+    loss mean.
     """
-    n = mesh.devices.size
+    n = mesh.shape[axis_name]
     sharding = batch_sharding(mesh, axis_name)
 
     def _put(x):
         if x.shape[0] % n:
             raise ValueError(
-                f"batch dim {x.shape[0]} not divisible by mesh size {n}")
+                f"batch dim {x.shape[0]} not divisible by "
+                f"{axis_name!r} axis size {n}")
         return jax.device_put(x, sharding)
 
     return jax.tree.map(_put, batch)

@@ -148,6 +148,42 @@ def test_augment_params_deterministic():
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
 
+def test_depth_resample_masks_saturated_pixels():
+    """Saturated laser pixels (> MAKE3D_DEPTH_CAP) must not bleed into valid
+    neighbors through the resize weights (ADVICE r1): outputs are either a
+    pure weighted average of valid source pixels or 0 (invalid)."""
+    dh, dw = 20, 24
+    depth = np.full((1, dh, dw, 1), 50.0, np.float32)
+    depth[0, :, dw // 2:, 0] = 81.0  # saturated right half
+    params = pp.identity_params(1, (dh, dw), (10, 12))
+    out = np.asarray(pp.oracle_preprocess(
+        jnp.asarray(depth), params, out_hw=(10, 12),
+        depth_mode=True))[0, ..., 0]
+    # 50 is the only valid source value -> any valid output is exactly 50;
+    # a 50/81 blend anywhere is the regression this guards against.
+    assert np.all((np.abs(out - 50.0) < 1e-3) | (out == 0.0)), out
+    assert (out == 0.0).any() and (np.abs(out - 50.0) < 1e-3).any()
+    # Kernel obeys the same invariant (bf16 renorm -> looser value tol; the
+    # at-threshold footprint decision may legitimately differ from f32).
+    got = np.asarray(pp.fused_preprocess(
+        jnp.asarray(depth), params, out_hw=(10, 12), depth_mode=True,
+        interpret=True))[0, ..., 0]
+    assert np.all((np.abs(got - 50.0) < 0.5) | (got == 0.0)), got
+
+
+def test_depth_resample_renormalizes_missing_pixels():
+    """NYU-style missing depth (0) is excluded and the remaining weights
+    renormalized: a constant-4 frame with scattered holes resamples to
+    exactly 4 wherever the footprint stays majority-valid."""
+    depth = np.full((1, 16, 16, 1), 4.0, np.float32)
+    depth[0, ::2, ::2, 0] = 0.0
+    params = pp.identity_params(1, (16, 16), (8, 8))
+    out = np.asarray(pp.oracle_preprocess(
+        jnp.asarray(depth), params, out_hw=(8, 8), depth_mode=True))
+    assert (out > 0).any()
+    np.testing.assert_allclose(out[out > 0], 4.0, rtol=1e-4)
+
+
 def test_crop_zoom_scales_depth():
     """Forced crop: depth values get multiplied by the window fraction."""
     b, dh, dw = 1, 24, 24

@@ -71,6 +71,16 @@ def test_shard_batch_rejects_indivisible(cpu_mesh):
         meshlib.shard_batch({"x": np.zeros((3, 4))}, cpu_mesh)
 
 
+def test_shard_batch_2d_mesh_divides_by_data_axis_only():
+    """On a dp x tp mesh only the data axis splits the batch: batch=2 on a
+    2x4 mesh must shard (2 % 2 == 0) even though 2 % 8 != 0."""
+    mesh = meshlib.create_mesh_2d(2, 4, jax.devices("cpu"))
+    y = meshlib.shard_batch({"x": np.zeros((2, 4), np.float32)}, mesh)["x"]
+    assert y.addressable_shards[0].data.shape == (1, 4)
+    with pytest.raises(ValueError, match="not divisible"):
+        meshlib.shard_batch({"x": np.zeros((3, 4))}, mesh)
+
+
 def test_batch_actually_sharded(cpu_mesh):
     x = np.zeros((16, 8), np.float32)
     y = meshlib.shard_batch({"x": x}, cpu_mesh)["x"]
@@ -88,7 +98,13 @@ def test_graft_entry_single():
 
 
 @pytest.mark.slow
-def test_graft_dryrun_multichip():
+@pytest.mark.parametrize("n", [8, 16])
+def test_graft_dryrun_multichip(n):
+    """Hermetic driver check: jax is already imported under pytest, so this
+    exercises the subprocess fallback — the exact path the driver takes
+    (the axon sitecustomize preloads jax in every interpreter). n=16
+    rehearses mesh shapes beyond the 8-device conftest mesh (dp 16,
+    dp8 x tp2, dp4 x tp4)."""
     import __graft_entry__ as g
 
-    g.dryrun_multichip(8)
+    g.dryrun_multichip(n)
