@@ -17,7 +17,7 @@ COPY . /app
 # (versions mirror the verified environment, SURVEY §2.4 [ENV]).
 RUN pip install --no-cache-dir \
         "jax[tpu]>=0.9.0" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
-        flax>=0.12 optax>=0.2.6 orbax-checkpoint>=0.11 grain>=0.2.15 \
+        "flax>=0.12" "optax>=0.2.6" "orbax-checkpoint>=0.11" "grain>=0.2.15" \
         opencv-python-headless pillow scipy h5py pytest
 
 # prebuild the native ring buffer

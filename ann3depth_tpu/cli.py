@@ -34,6 +34,11 @@ def _common_flags(p):
     p.add_argument("--seed", type=int)
     p.add_argument("--preprocess-impl", choices=["xla", "pallas"],
                    help="device preprocess implementation (see DataConfig)")
+    p.add_argument("--use-grain", action="store_true",
+                   help="grain-backed host input pipeline (worker-parallel "
+                        "decode; see DataConfig.use_grain)")
+    p.add_argument("--num-workers", type=int,
+                   help="grain worker processes (implies --use-grain)")
 
 
 def _resolve(args) -> cfglib.Config:
@@ -48,6 +53,10 @@ def _resolve(args) -> cfglib.Config:
     if args.learning_rate: train["learning_rate"] = args.learning_rate
     if args.seed is not None: train["seed"] = args.seed
     if getattr(args, "preprocess_impl", None): data["preprocess_impl"] = args.preprocess_impl
+    if getattr(args, "use_grain", False): data["use_grain"] = True
+    if getattr(args, "num_workers", None):
+        data["use_grain"] = True
+        data["num_workers"] = args.num_workers
     if getattr(args, "resume", False): train["resume"] = True
     if getattr(args, "tensorboard", False): train["tensorboard"] = True
     if getattr(args, "augment", False): data["augment"] = True

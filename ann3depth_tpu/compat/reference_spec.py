@@ -86,6 +86,18 @@ DEFAULT_ADAM_B2 = 0.999
 # ---------------------------------------------------------------------------
 RESIZE_ALIGN_CORNERS = False
 
+# ---------------------------------------------------------------------------
+# Eval metric accumulation semantics. FLAGGED CHOICE: "global-pixel" —
+# error metrics (RMSE, abs_rel, log10, deltas) are computed over ALL valid
+# pixels of the eval split (sufficient statistics summed across batches,
+# finalized once: losses.depth_metric_stats / finalize_depth_metrics). The
+# eval *loss* is the mean over images of the per-image Eigen loss, matching
+# training. The alternative ("per-image": average of per-image metric
+# values) is what some Make3D papers report; switch here once the
+# reference's eval code is readable.
+# ---------------------------------------------------------------------------
+EVAL_ACCUMULATION = "global-pixel"
+
 
 @dataclasses.dataclass(frozen=True)
 class ReferenceSpec:

@@ -18,7 +18,9 @@ class DataConfig:
     datasets: Tuple[str, ...] = ("make3d",)  # make3d | nyu | synthetic
     data_dir: str = "data"
     input_hw: Tuple[int, int] = (ref.INPUT_H, ref.INPUT_W)
-    target_hw: Tuple[int, int] = (ref.TARGET_H, ref.TARGET_W)
+    # NOTE: there is deliberately no target_hw field — the depth-target
+    # shape is a function of the model's output stride and is derived in
+    # train/loop.resolved_target_hw, so presets cannot mismatch the head.
     augment: bool = False          # flip/crop/jitter (fused on device) [B:9]
     # Device preprocess implementation: identical math either way
     # (ops/pallas_preprocess.py). "xla" measured faster *inside* the fused
@@ -26,6 +28,11 @@ class DataConfig:
     # fusion barrier); "pallas" is the hand kernel (faster standalone).
     preprocess_impl: str = "xla"   # "xla" | "pallas"
     prefetch: int = 2              # depth of the double-buffered device feed
+    # Host input pipeline: grain's worker pool parallelizes JPEG/.mat decode
+    # on multi-core TPU hosts (pipeline/grain_loader.py). On this 1-core dev
+    # host the built-in epoch iterator is just as fast, so grain is opt-in.
+    use_grain: bool = False
+    num_workers: int = 0           # grain worker processes (0 = in-process)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,7 +113,6 @@ PRESETS = {
         data={
             "datasets": ("nyu",),
             "input_hw": (ref.DPT_RES, ref.DPT_RES),
-            "target_hw": (ref.DPT_RES, ref.DPT_RES),
         },
         model={"name": "dpt", "remat": True},
         train={"batch_size": 8},

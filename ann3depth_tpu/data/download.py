@@ -41,6 +41,32 @@ ARCHIVES = {
     ],
 }
 
+# sha256 per archive basename, enforced when set. The values are unknowable
+# in this offline environment (no network, no reference artifacts); fill
+# them in on first verified download and they become hard gates.
+CHECKSUMS: dict = {
+    "Train400Img.tar.gz": None,
+    "Train400Depth.tgz": None,
+    "Test134.tar.gz": None,
+    "Test134Depth.tar.gz": None,
+    "nyu_depth_v2_labeled.mat": None,
+}
+
+# Post-extract layout: (subpath-under-<data_dir>/<dataset>, glob, min count).
+EXPECTED_LAYOUT = {
+    "make3d": [
+        ("Train400Img", "*.jpg", 1),
+        ("Train400Depth", "*.mat", 1),
+        ("Test134", "*.jpg", 1),
+        ("Gridlaserdata", "*.mat", 1),
+    ],
+    "nyu": [
+        ("", "nyu_depth_v2_labeled.mat", 1),
+    ],
+}
+
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
 
 def _fetch(url: str, dest: str) -> bool:
     """Download url -> dest. Returns False (with log) when offline."""
@@ -65,22 +91,73 @@ def _fetch(url: str, dest: str) -> bool:
         return False
 
 
-def _extract(archive: str, into: str) -> None:
-    if archive.endswith((".tar.gz", ".tgz", ".tar")):
-        log.info("extracting %s", archive)
-        with tarfile.open(archive) as tf:
-            tf.extractall(into, filter="data")
-    # .mat archives (NYU) are used in place, no extraction.
+def _verify_archive(path: str) -> None:
+    """Fail fast (not mid-epoch) on truncated/corrupt staged archives.
+
+    Tarballs: walk every member header (detects truncation without a full
+    decompress of file payloads). .mat: must be a MATLAB v7.3 = HDF5 file
+    (magic bytes). Checksums from CHECKSUMS enforced when known.
+    """
+    want = CHECKSUMS.get(os.path.basename(path))
+    if want is not None:
+        import hashlib
+
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != want:
+            raise RuntimeError(
+                f"{path}: sha256 mismatch (got {h.hexdigest()}, want {want})"
+                " — delete and re-stage the archive")
+    if path.endswith((".tar.gz", ".tgz", ".tar")):
+        try:
+            with tarfile.open(path) as tf:
+                n = sum(1 for _ in tf)
+        except (tarfile.TarError, EOFError, OSError) as e:
+            raise RuntimeError(
+                f"{path}: corrupt or truncated archive ({e}) — delete and "
+                "re-stage it") from e
+        if n == 0:
+            raise RuntimeError(f"{path}: archive contains no members")
+    elif path.endswith(".mat"):
+        with open(path, "rb") as f:
+            if f.read(8) != _HDF5_MAGIC:
+                raise RuntimeError(
+                    f"{path}: not a MATLAB v7.3 (HDF5) file — wrong or "
+                    "truncated download")
+
+
+def _verify_layout(dataset: str, base: str) -> None:
+    """Post-extract check: the loaders' expected tree exists and is non-empty."""
+    import glob as globlib
+
+    problems = []
+    for sub, pattern, min_n in EXPECTED_LAYOUT[dataset]:
+        matches = globlib.glob(os.path.join(base, sub, pattern))
+        if len(matches) < min_n:
+            problems.append(f"{os.path.join(sub, pattern) or pattern}: "
+                            f"{len(matches)} files (need >= {min_n})")
+    if problems:
+        raise RuntimeError(
+            f"{dataset} layout under {base} is incomplete after extraction:"
+            "\n  " + "\n  ".join(problems))
 
 
 def download(dataset: str, data_dir: str) -> None:
-    """Ensure `dataset` is laid out under data_dir; fetch if reachable."""
+    """Ensure `dataset` is laid out under data_dir; fetch if reachable.
+
+    Every staged archive is integrity-checked (headers walked, HDF5 magic,
+    sha256 when known) and the extracted tree is layout-verified, so a
+    truncated download fails here with a clear message instead of mid-epoch.
+    """
     if dataset not in ARCHIVES:
         raise KeyError(f"unknown dataset {dataset!r}; have {sorted(ARCHIVES)}")
     missing = []
     for url, sub in ARCHIVES[dataset]:
         fname = os.path.join(data_dir, sub, os.path.basename(url))
         if _fetch(url, fname):
+            _verify_archive(fname)
             _extract(fname, os.path.join(data_dir, sub))
         else:
             missing.append(url)
@@ -89,4 +166,13 @@ def download(dataset: str, data_dir: str) -> None:
             f"could not fetch {dataset} archives (offline?). Stage these "
             f"files under {os.path.join(data_dir, dataset)}/ manually:\n  "
             + "\n  ".join(missing))
+    _verify_layout(dataset, os.path.join(data_dir, dataset))
     log.info("%s ready under %s", dataset, data_dir)
+
+
+def _extract(archive: str, into: str) -> None:
+    if archive.endswith((".tar.gz", ".tgz", ".tar")):
+        log.info("extracting %s", archive)
+        with tarfile.open(archive) as tf:
+            tf.extractall(into, filter="data")
+    # .mat archives (NYU) are used in place, no extraction.

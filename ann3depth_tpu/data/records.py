@@ -29,6 +29,9 @@ def pack(dataset, out_dir: str, split: str, shard_size: int = 64) -> str:
     name = getattr(dataset, "name", "dataset")
     shards = []
     n = len(dataset)
+    if n == 0:
+        raise ValueError(
+            f"cannot pack empty dataset {name!r} (split={split!r})")
     for s0 in range(0, n, shard_size):
         idx = range(s0, min(s0 + shard_size, n))
         imgs, deps = zip(*(dataset[i] for i in idx))

@@ -7,9 +7,10 @@ upsampling head; 320x240 RGB in -> 160x120 log-depth out (output stride 2).
 TPU-first design (informed by an on-chip profile, 2026-08-16):
 - **Space-to-depth stem**: the naive full-res 240x320x32 stem stage was the
   single most HBM-expensive activation and ran at 3->32 channels (MXU lanes
-  pad to 128 -> mostly idle). A 2x2 space-to-depth reshapes the input to
-  120x160x12 for free, so every conv in the network runs at the output
-  stride or below with >=64 channels.
+  pad to 128 -> mostly idle). A 4x4 space-to-depth reshapes the input to
+  60x80x48 for free, so every conv in the network runs at stride >= 4 with
+  >=64 channels; the head predicts log-depth at stride 4 and bilinearly
+  upsamples the 1-channel map x2 to the stride-2 [B:8] output.
 - **Additive skip connections** (1x1-projected) instead of U-Net concats:
   the profile showed ~1.4 ms/step of pure `copy` from concatenation;
   adds fuse into the surrounding convs.

@@ -5,9 +5,10 @@ Wraps any dataset with the loader protocol (data/make3d.py etc.) into a
 `grain.MapDataset` pipeline: deterministic global shuffle per epoch,
 worker-parallel decode, batching — then hands batches to the same
 DeviceFeed. On this 1-core host the built-in `batches()` iterators are just
-as fast, so grain is opt-in (`use_grain=True` in the loop or this factory),
-but on real multi-core TPU hosts grain's worker pool is the right tool for
-JPEG/mat decode throughput.
+as fast, so grain is opt-in: set `DataConfig.use_grain` (CLI `--use-grain`
+/ `--num-workers N`) and train/loop.py routes the host pipeline through
+`grain_batches`. On real multi-core TPU hosts grain's worker pool is the
+right tool for JPEG/mat decode throughput.
 """
 
 from __future__ import annotations

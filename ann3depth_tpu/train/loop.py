@@ -108,8 +108,15 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     rng = jax.random.key(cfg.train.seed)
 
     n_steps = cfg.train.steps - start_step
-    host_iter = dataset.batches(cfg.train.batch_size, steps=n_steps,
-                                seed=cfg.train.seed + start_step)
+    if cfg.data.use_grain:
+        from ann3depth_tpu.pipeline.grain_loader import grain_batches
+        host_iter = grain_batches(dataset, cfg.train.batch_size,
+                                  steps=n_steps,
+                                  seed=cfg.train.seed + start_step,
+                                  num_workers=cfg.data.num_workers)
+    else:
+        host_iter = dataset.batches(cfg.train.batch_size, steps=n_steps,
+                                    seed=cfg.train.seed + start_step)
     feed = DeviceFeed(host_iter, sharding=sharding, prefetch=cfg.data.prefetch)
 
     step_kwargs = dict(input_hw=cfg.data.input_hw,
@@ -187,7 +194,12 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
 
 
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
-    """Eval loop: accumulate depth metrics over the test split [B:2]."""
+    """Eval loop: accumulate global sufficient statistics over the test
+    split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
+    error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
+    loss stays the mean over images of the per-image Eigen loss."""
+    from ann3depth_tpu.train import losses
+
     dataset = dataset or build_dataset(cfg, "test")
     if state is None:
         state = create_state(cfg)
@@ -197,18 +209,18 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
         if restored is None:
             raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
 
-    totals, n = {}, 0
+    totals = {}
     for b, (img_u8, depth) in enumerate(
             dataset.batches(cfg.train.batch_size, steps=max_batches,
                             shuffle=False)):
-        m = jax.device_get(steplib.eval_step(
+        stats = jax.device_get(steplib.eval_stats_step(
             state, img_u8, depth,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
             si_lambda=cfg.train.si_lambda, use_pallas=_use_pallas(cfg)))
-        bs = img_u8.shape[0]
-        for k, v in m.items():
-            totals[k] = totals.get(k, 0.0) + float(v) * bs
-        n += bs
+        for k, v in stats.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
         if max_batches is not None and b + 1 >= max_batches:
             break
-    return {k: v / max(n, 1) for k, v in totals.items()}
+    if not totals:
+        raise ValueError("eval split yielded no batches")
+    return losses.finalize_depth_metrics(totals)

@@ -31,6 +31,22 @@ def _flatten_mask(target, mask):
     return valid
 
 
+def per_image_si_loss(pred_log, target, mask=None, lam=ref.SI_LOSS_LAMBDA):
+    """[B] per-image Eigen eq. 4 losses (sum over spatial dims per image)."""
+    pred_log = jnp.asarray(pred_log, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    if pred_log.shape != target.shape:
+        pred_log = pred_log.reshape(target.shape)
+    valid = _flatten_mask(target, mask)
+
+    d = jnp.where(valid, pred_log - jnp.log(jnp.maximum(target, ref.DEPTH_EPS)), 0.0)
+    axes = tuple(range(1, d.ndim))
+    n = jnp.maximum(jnp.sum(valid, axis=axes).astype(jnp.float32), 1.0)
+    s1 = jnp.sum(d * d, axis=axes)
+    s2 = jnp.sum(d, axis=axes)
+    return s1 / n - lam * (s2 * s2) / (n * n)
+
+
 def scale_invariant_log_loss(pred_log, target, mask=None, lam=ref.SI_LOSS_LAMBDA):
     """Scale-invariant loss on log-depth predictions.
 
@@ -43,57 +59,80 @@ def scale_invariant_log_loss(pred_log, target, mask=None, lam=ref.SI_LOSS_LAMBDA
 
     Returns: scalar f32 loss (mean over batch of per-image losses).
     """
-    pred_log = jnp.asarray(pred_log, jnp.float32)
-    target = jnp.asarray(target, jnp.float32)
-    if pred_log.shape != target.shape:
-        pred_log = pred_log.reshape(target.shape)
-    valid = _flatten_mask(target, mask)
-
-    d = jnp.where(valid, pred_log - jnp.log(jnp.maximum(target, ref.DEPTH_EPS)), 0.0)
-    # Per-image reduction (sum over spatial dims), then mean over batch —
-    # matches the per-example form of Eigen eq. 4.
-    axes = tuple(range(1, d.ndim))
-    n = jnp.maximum(jnp.sum(valid, axis=axes).astype(jnp.float32), 1.0)
-    s1 = jnp.sum(d * d, axis=axes)
-    s2 = jnp.sum(d, axis=axes)
-    per_image = s1 / n - lam * (s2 * s2) / (n * n)
-    return jnp.mean(per_image)
+    return jnp.mean(per_image_si_loss(pred_log, target, mask, lam))
 
 
-def depth_metrics(pred_log, target, mask=None):
-    """Standard monocular-depth error metrics (eval surface, [B:2]).
+def depth_metric_stats(pred_log, target, mask=None, si_lambda=None):
+    """Sufficient statistics for dataset-level depth metrics [B:2].
 
-    Returns dict of scalars: rmse (linear, meters), rmse_log, abs_rel,
-    log10, delta1/2/3 accuracy. All mask-aware, f32.
+    Returns a dict of f32 scalars that SUM across batches; pass the summed
+    dict to `finalize_depth_metrics` for the metric values. This is the
+    parity-grade accumulation (reference_spec.EVAL_ACCUMULATION): the
+    dataset RMSE is the sqrt of the global mean squared error over all
+    valid pixels of the split — not a mean of per-batch RMSEs.
+
+    si_lambda, if given, also accumulates the per-image Eigen loss
+    (sum_si_loss / n_images at finalize — matching the training loss).
     """
     pred_log = jnp.asarray(pred_log, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     if pred_log.shape != target.shape:
-        pred_log = pred_log.reshape(target.shape)
+        pred_log_r = pred_log.reshape(target.shape)
+    else:
+        pred_log_r = pred_log
     valid = _flatten_mask(target, mask)
-    n = jnp.maximum(jnp.sum(valid).astype(jnp.float32), 1.0)
 
     tgt = jnp.maximum(target, ref.DEPTH_EPS)
-    pred = jnp.exp(pred_log)
+    pred = jnp.exp(pred_log_r)
     z = jnp.where(valid, 1.0, 0.0)
 
     diff = (pred - tgt) * z
-    rmse = jnp.sqrt(jnp.sum(diff * diff) / n)
-
-    dlog = (pred_log - jnp.log(tgt)) * z
-    rmse_log = jnp.sqrt(jnp.sum(dlog * dlog) / n)
-
-    abs_rel = jnp.sum(jnp.abs(pred - tgt) / tgt * z) / n
-    log10 = jnp.sum(jnp.abs(dlog) * z) / jnp.log(10.0) / n
-
+    dlog = (pred_log_r - jnp.log(tgt)) * z
     ratio = jnp.maximum(pred / tgt, tgt / jnp.maximum(pred, ref.DEPTH_EPS))
-    deltas = {
-        f"delta{i}": jnp.sum((ratio < 1.25**i) & valid) / n for i in (1, 2, 3)
+
+    stats = {
+        "n_valid": jnp.sum(z),
+        "sum_sq": jnp.sum(diff * diff),
+        "sum_sq_log": jnp.sum(dlog * dlog),
+        "sum_abs_rel": jnp.sum(jnp.abs(pred - tgt) / tgt * z),
+        "sum_abs_log": jnp.sum(jnp.abs(dlog)),
+        **{f"n_delta{i}": jnp.sum((ratio < 1.25**i) & valid).astype(jnp.float32)
+           for i in (1, 2, 3)},
     }
-    return {
-        "rmse": rmse,
-        "rmse_log": rmse_log,
-        "abs_rel": abs_rel,
-        "log10": log10,
-        **deltas,
+    if si_lambda is not None:
+        stats["n_images"] = jnp.asarray(target.shape[0], jnp.float32)
+        stats["sum_si_loss"] = jnp.sum(
+            per_image_si_loss(pred_log, target, mask, si_lambda))
+    return stats
+
+
+def finalize_depth_metrics(stats):
+    """Summed stats dict -> metric dict. Works on traced jnp scalars (inside
+    jit) and on plain Python/numpy floats (host-side accumulation) alike —
+    only +, *, /, ** and comparisons are used."""
+    n = stats["n_valid"]
+    n = n + (n < 0.5)  # max(n, 1) without jnp/np dispatch
+    out = {
+        "rmse": (stats["sum_sq"] / n) ** 0.5,
+        "rmse_log": (stats["sum_sq_log"] / n) ** 0.5,
+        "abs_rel": stats["sum_abs_rel"] / n,
+        "log10": stats["sum_abs_log"] / _LOG10 / n,
+        **{f"delta{i}": stats[f"n_delta{i}"] / n for i in (1, 2, 3)},
     }
+    if "sum_si_loss" in stats:
+        ni = stats["n_images"]
+        out["loss"] = stats["sum_si_loss"] / (ni + (ni < 0.5))
+    return out
+
+
+_LOG10 = 2.302585092994046  # ln(10); literal so finalize stays jnp/np-free
+
+
+def depth_metrics(pred_log, target, mask=None):
+    """Standard monocular-depth error metrics over ONE batch (convenience;
+    the eval loop accumulates depth_metric_stats globally instead).
+
+    Returns dict of scalars: rmse (linear, meters), rmse_log, abs_rel,
+    log10, delta1/2/3 accuracy. All mask-aware, f32.
+    """
+    return finalize_depth_metrics(depth_metric_stats(pred_log, target, mask))

@@ -105,20 +105,28 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
 
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
                                              "si_lambda", "use_pallas"))
-def eval_step(state: TrainState, img_u8, depth_raw, *, input_hw, target_hw,
-              si_lambda=0.5, use_pallas=False):
-    """Eval: preprocess -> forward -> full metric dict (no augmentation).
+def eval_stats_step(state: TrainState, img_u8, depth_raw, *, input_hw,
+                    target_hw, si_lambda=0.5, use_pallas=False):
+    """Eval: preprocess -> forward -> SUFFICIENT STATISTICS (no augment).
 
-    si_lambda must match the training config so train/eval loss curves are
-    comparable."""
+    Returns summable f32 scalars (losses.depth_metric_stats); the eval loop
+    accumulates them across the split and finalizes once, so dataset RMSE is
+    the global-pixel RMSE (reference_spec.EVAL_ACCUMULATION), not a mean of
+    per-batch means. si_lambda must match the training config so train/eval
+    loss curves are comparable."""
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=None,
         use_pallas=use_pallas)
     pred_log = state.apply_fn({"params": state.params}, images)
-    m = losses.depth_metrics(pred_log, depths)
-    m["loss"] = losses.scale_invariant_log_loss(pred_log, depths,
-                                                lam=si_lambda)
-    return m
+    return losses.depth_metric_stats(pred_log, depths, si_lambda=si_lambda)
+
+
+def eval_step(state: TrainState, img_u8, depth_raw, *, input_hw, target_hw,
+              si_lambda=0.5, use_pallas=False):
+    """One-batch metric dict (convenience wrapper over eval_stats_step)."""
+    return losses.finalize_depth_metrics(jax.device_get(eval_stats_step(
+        state, img_u8, depth_raw, input_hw=input_hw, target_hw=target_hw,
+        si_lambda=si_lambda, use_pallas=use_pallas)))
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw",

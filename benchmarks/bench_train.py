@@ -48,6 +48,15 @@ def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
               use_pallas=cfg.data.preprocess_impl == "pallas"
               and jax.default_backend() == "tpu")
 
+    # FLOPs of the compiled step from XLA's own cost analysis (MFU
+    # numerator; benchmarks/flops.py). Lower() with the pre-warmup live
+    # state — it only traces, nothing is donated/executed.
+    from benchmarks import flops as flopslib
+
+    img0, dep0 = pool[0]
+    step_fl = flopslib.step_flops(steplib.train_step, state, img0, dep0,
+                                  rng, **kw)
+
     for i in range(warmup):
         img, dep = pool[i % len(pool)]
         state, metrics = steplib.train_step(state, img, dep, rng, **kw)
@@ -72,6 +81,7 @@ def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
         "final_loss": loss,
         "time": time.time(),
     }
+    flopslib.attach_mfu(result, step_fl, steps, dt)
     if record:
         with open(RESULTS, "a") as f:
             f.write(json.dumps(result) + "\n")

@@ -14,11 +14,15 @@ from __future__ import annotations
 import json
 import sys
 
-# floor, measured round-1 reference (BASELINE.md)
+# floor, measured reference (BASELINE.md; r1 values, MFU added r2)
 FLOORS = {
     "encdec_b16_images_per_sec": (5000.0, 6868.0),
     "dpt384_b8_images_per_sec": (400.0, 540.0),
     "live_device_step_ms_max": (5.0, 1.55),  # upper bound
+    # Efficiency floor (VERDICT r1): catches "still fast in img/s but
+    # regressed in MFU" after model-capacity changes. r2 measured 0.272
+    # at b16 via XLA cost_analysis (benchmarks/flops.py).
+    "encdec_b16_mfu": (0.20, 0.272),
 }
 
 
@@ -39,6 +43,7 @@ def main() -> int:
 
     r = bench_train.run(get_config("make3d-encdec"), steps=60, record=False)
     results["encdec_b16_images_per_sec"] = r["images_per_sec"]
+    results["encdec_b16_mfu"] = r.get("mfu", 0.0)
 
     r = bench_train.run(get_config("dpt-384"), steps=30, record=False)
     results["dpt384_b8_images_per_sec"] = r["images_per_sec"]

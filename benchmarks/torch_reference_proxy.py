@@ -74,7 +74,7 @@ def si_loss(pred_log, target, lam=0.5):
             - lam * d.sum(dim=(1, 2)).pow(2) / n**2).mean()
 
 
-def main(batch=16, warmup=3, steps=10):
+def main(batch=16, warmup=5, steps=50):
     torch.manual_seed(0)
     model = EncDec()
     opt = torch.optim.Adam(model.parameters(), lr=1e-4)
@@ -89,7 +89,7 @@ def main(batch=16, warmup=3, steps=10):
         loss = si_loss(model(imgs), target)
         loss.backward()
         opt.step()
-        return float(loss)
+        return float(loss.detach())
 
     for _ in range(warmup):
         step()

@@ -119,6 +119,156 @@ def test_nyu_missing_raises(tmp_path):
         NYUDataset(str(tmp_path))
 
 
+def test_nyu_official_splits_mat(nyu_mat):
+    """splits.mat (1-based trainNdxs/testNdxs) wins over any fallback."""
+    import scipy.io
+
+    from ann3depth_tpu.data.nyu import NYUDataset
+
+    scipy.io.savemat(
+        str(nyu_mat / "nyu" / "splits.mat"),
+        {"trainNdxs": np.array([[1], [2], [4], [6]]),  # 1-based MATLAB
+         "testNdxs": np.array([[3], [5]])})
+    tr = NYUDataset(str(nyu_mat), split="train")
+    te = NYUDataset(str(nyu_mat), split="test")
+    np.testing.assert_array_equal(tr.indices, [0, 1, 3, 5])
+    np.testing.assert_array_equal(te.indices, [2, 4])
+    tr.close(); te.close()
+
+
+def test_nyu_scene_split_no_leakage(tmp_path):
+    """Without splits.mat, whole scenes alternate: no scene appears in both
+    splits (consecutive same-scene frames must not leak, ADVICE r1)."""
+    import h5py
+
+    from ann3depth_tpu.data.nyu import NYUDataset
+
+    rng = np.random.default_rng(3)
+    p = tmp_path / "nyu" / "nyu_depth_v2_labeled.mat"
+    p.parent.mkdir(parents=True)
+    scenes = ["kitchen_0001"] * 3 + ["office_0002"] * 2 + ["bedroom_0003"] * 3
+    n, H, W = len(scenes), 16, 20
+    with h5py.File(p, "w") as f:
+        f.create_dataset("images", data=rng.integers(
+            0, 256, (n, 3, W, H), dtype=np.uint8))
+        f.create_dataset("depths", data=rng.uniform(
+            0.5, 10.0, (n, W, H)).astype(np.float32))
+        refs = []
+        for i, s in enumerate(scenes):
+            d = f.create_dataset(
+                f"#refs#/s{i}",
+                data=np.array([[ord(c)] for c in s], dtype=np.uint16))
+            refs.append(d.ref)
+        f.create_dataset("scenes", data=np.array(
+            refs, dtype=h5py.ref_dtype).reshape(1, -1))
+    tr = NYUDataset(str(tmp_path), split="train")
+    te = NYUDataset(str(tmp_path), split="test")
+    # scenes 0,2 (kitchen, bedroom) -> train; scene 1 (office) -> test
+    np.testing.assert_array_equal(tr.indices, [0, 1, 2, 5, 6, 7])
+    np.testing.assert_array_equal(te.indices, [3, 4])
+    tr.close(); te.close()
+
+
+def test_nyu_image_fallback_warns(nyu_mat, caplog):
+    import logging
+
+    from ann3depth_tpu.data.nyu import NYUDataset
+
+    with caplog.at_level(logging.WARNING, logger="ann3depth_tpu.data.nyu"):
+        ds = NYUDataset(str(nyu_mat), split="train")
+    assert any("every-other-IMAGE" in r.message for r in caplog.records)
+    ds.close()
+
+
+def test_download_staged_archive_verified_and_extracted(tmp_path, monkeypatch):
+    """Pre-staged (offline) archives are integrity-checked, extracted, and
+    the resulting tree layout-verified."""
+    import io
+    import tarfile
+
+    from ann3depth_tpu.data import download as dl
+    from PIL import Image
+    import scipy.io
+
+    # Build a miniature Make3D archive set in the staging location.
+    base = tmp_path / "make3d"
+    base.mkdir()
+    src = tmp_path / "src"
+    for d in ("Train400Img", "Train400Depth", "Test134", "Gridlaserdata"):
+        (src / d).mkdir(parents=True)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        src / "Train400Img" / "img-a.jpg")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        src / "Test134" / "img-b.jpg")
+    grid = np.zeros((55, 305, 4), np.float32)
+    scipy.io.savemat(src / "Train400Depth" / "depth_sph_corr-a.mat",
+                     {"Position3DGrid": grid})
+    scipy.io.savemat(src / "Gridlaserdata" / "depth_sph_corr-b.mat",
+                     {"Position3DGrid": grid})
+    names = ["Train400Img.tar.gz", "Train400Depth.tgz", "Test134.tar.gz",
+             "Test134Depth.tar.gz"]
+    dirs = [["Train400Img"], ["Train400Depth"], ["Test134"], ["Gridlaserdata"]]
+    for name, subdirs in zip(names, dirs):
+        with tarfile.open(base / name, "w:gz") as tf:
+            for d in subdirs:
+                tf.add(src / d, arcname=d)
+    dl.download("make3d", str(tmp_path))  # offline: uses staged archives
+    assert (base / "Train400Img" / "img-a.jpg").exists()
+    assert (base / "Gridlaserdata" / "depth_sph_corr-b.mat").exists()
+
+
+def test_download_truncated_archive_fails_fast(tmp_path):
+    import tarfile
+
+    from ann3depth_tpu.data import download as dl
+
+    base = tmp_path / "make3d"
+    base.mkdir()
+    # a valid gzip stream holding garbage (not a tar)
+    import gzip
+
+    with gzip.open(base / "Train400Img.tar.gz", "wb") as f:
+        f.write(b"this is not a tarball")
+    with pytest.raises(RuntimeError, match="corrupt or truncated"):
+        dl._verify_archive(str(base / "Train400Img.tar.gz"))
+
+
+def test_download_bad_mat_magic_fails(tmp_path):
+    from ann3depth_tpu.data import download as dl
+
+    p = tmp_path / "nyu_depth_v2_labeled.mat"
+    p.write_bytes(b"MATLAB 5.0 MAT-file junk header")
+    with pytest.raises(RuntimeError, match="HDF5"):
+        dl._verify_archive(str(p))
+
+
+def test_download_checksum_enforced_when_known(tmp_path, monkeypatch):
+    from ann3depth_tpu.data import download as dl
+
+    p = tmp_path / "Test134.tar.gz"
+    p.write_bytes(b"anything")
+    monkeypatch.setitem(dl.CHECKSUMS, "Test134.tar.gz", "0" * 64)
+    with pytest.raises(RuntimeError, match="sha256 mismatch"):
+        dl._verify_archive(str(p))
+
+
+def test_download_layout_verification_reports_missing(tmp_path):
+    from ann3depth_tpu.data import download as dl
+
+    (tmp_path / "make3d" / "Train400Img").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="incomplete"):
+        dl._verify_layout("make3d", str(tmp_path / "make3d"))
+
+
+def test_records_pack_empty_raises(tmp_path):
+    from ann3depth_tpu.data.records import pack
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+
+    src = SyntheticDepthDataset(n=0, img_hw=(8, 8), depth_hw=(4, 4))
+    with pytest.raises(ValueError, match="empty"):
+        pack(src, str(tmp_path / "rec"), "train")
+
+
 def test_cli_prepare_synthetic(tmp_path, capsys):
     """`prepare` packs a dataset; training then picks up the records."""
     import json

@@ -72,6 +72,52 @@ def test_depth_metrics_oracle():
     assert m["rmse_log"] == pytest.approx(abs(np.log(1.1)), rel=1e-3)
 
 
+def test_global_accumulation_equals_numpy_oracle():
+    """Summed depth_metric_stats over batches + one finalize == metrics over
+    the concatenated split (reference_spec.EVAL_ACCUMULATION). Batches get
+    different valid-pixel counts so the old per-batch mean-of-means would
+    NOT equal the dataset metric — asserted at the end."""
+    rng = np.random.default_rng(3)
+    batches = []
+    for b in range(3):
+        t = rng.uniform(1.0, 60.0, (2, 6, 6)).astype(np.float32)
+        t[:, : b + 2, : b + 2] = 100.0  # beyond cap -> invalid, size varies
+        noise = rng.uniform(0.7, 1.4, t.shape).astype(np.float32)
+        p = np.log(np.maximum(t * noise, 1e-6)).astype(np.float32)
+        batches.append((p, t))
+
+    totals = {}
+    for p, t in batches:
+        s = losses.depth_metric_stats(p, t, si_lambda=0.5)
+        for k, v in s.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+    got = losses.finalize_depth_metrics(totals)
+
+    P = np.concatenate([p for p, _ in batches])
+    T = np.concatenate([t for _, t in batches])
+    valid = (T > 1e-6) & (T <= 70.0)
+    pred, tgt = np.exp(P[valid]), T[valid]
+    dlog = P[valid] - np.log(tgt)
+    ratio = np.maximum(pred / tgt, tgt / pred)
+    # rel 1e-4: stats accumulate in f32 on device, the oracle runs f64
+    assert got["rmse"] == pytest.approx(
+        float(np.sqrt(np.mean((pred - tgt) ** 2))), rel=1e-4)
+    assert got["rmse_log"] == pytest.approx(
+        float(np.sqrt(np.mean(dlog ** 2))), rel=1e-4)
+    assert got["abs_rel"] == pytest.approx(
+        float(np.mean(np.abs(pred - tgt) / tgt)), rel=1e-4)
+    assert got["log10"] == pytest.approx(
+        float(np.mean(np.abs(dlog)) / np.log(10)), rel=1e-4)
+    assert got["delta1"] == pytest.approx(float(np.mean(ratio < 1.25)), rel=1e-4)
+    # eval loss = mean over ALL images of the per-image Eigen loss
+    want_loss = float(np.mean([_np_si_loss(p, t) for p, t in batches]))
+    assert got["loss"] == pytest.approx(want_loss, rel=1e-4)
+    # the defect this replaces: mean of per-batch RMSEs != dataset RMSE
+    per_batch = np.mean([float(losses.depth_metrics(p, t)["rmse"])
+                         for p, t in batches])
+    assert abs(got["rmse"] - per_batch) > 1e-3
+
+
 def test_metrics_gradient_free_usage():
     """Loss must be differentiable; metrics needn't be."""
     import jax

@@ -17,7 +17,7 @@ def _smoke_cfg(tmp_path, **train_overrides):
     cfg = get_config("smoke")
     train = dataclasses.replace(
         cfg.train, ckpt_dir=str(tmp_path / "ckpt"), **train_overrides)
-    data = dataclasses.replace(cfg.data, input_hw=(48, 64), target_hw=(24, 32))
+    data = dataclasses.replace(cfg.data, input_hw=(48, 64))
     return dataclasses.replace(cfg, train=train, data=data)
 
 
