@@ -231,13 +231,20 @@ def fused_preprocess(frames, params, *, out_hw, norm=True, depth_mode=False,
 # Oracle (pure XLA, same math) — parity target and CPU fallback.
 # ---------------------------------------------------------------------------
 
-def oracle_preprocess(frames, params, *, out_hw, norm=True, depth_mode=False):
-    """Reference implementation of exactly the kernel's math in plain jnp."""
+def oracle_preprocess(frames, params, *, out_hw, norm=True, depth_mode=False,
+                      precision=jax.lax.Precision.HIGHEST):
+    """Reference implementation of exactly the kernel's math in plain jnp.
+
+    precision: HIGHEST by default (the parity/test oracle must not truncate
+    f32 matmul operands). The training path may pass a lower precision —
+    the model computes in bf16 anyway, so exact-f32 resize is wasted MXU
+    passes there.
+    """
     b, h_in, w_in, c = frames.shape
     h_out, w_out = out_hw
     g = geometry_of(params)
 
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
 
     def one(frame, y_start, y_scale, x_start, x_scale, out_scale, brightness,
             contrast, photo):

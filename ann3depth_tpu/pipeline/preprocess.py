@@ -69,12 +69,20 @@ def preprocess_depth(depth, target_hw, use_pallas=False):
 
 
 def preprocess_batch(img_u8, depth, input_hw, target_hw, key=None,
-                     use_pallas=False):
+                     use_pallas=False, precision=None):
     """Full pipeline: raw uint8 + raw depth -> model-ready (img, depth).
 
     key=None -> eval path (plain resize+normalize); key given -> train
     path with fused flip/crop/jitter augmentation.
+
+    precision: matmul precision for the XLA resize path. None -> HIGHEST
+    (exact f32; the eval/parity default — GT depth must not pick up
+    truncation noise). The train step passes DEFAULT: the model computes
+    in bf16 anyway and exact-f32 resize costs ~11% of the step (measured
+    2.35 -> 2.10 ms/step at b16, BASELINE.md).
     """
+    import jax
+
     b, h, w, _ = img_u8.shape
     _, dh, dw = depth.shape
     input_hw, target_hw = tuple(input_hw), tuple(target_hw)
@@ -87,8 +95,15 @@ def preprocess_batch(img_u8, depth, input_hw, target_hw, key=None,
         img_params = pp.augment_params(key, b, (h, w), input_hw)
         dep_params = pp.augment_params(key, b, (dh, dw), target_hw)
 
-    fn = pp.fused_preprocess if use_pallas else pp.oracle_preprocess
-    img = fn(img_u8, img_params, out_hw=input_hw)
-    dep = fn(depth[..., None], dep_params, out_hw=target_hw,
-             depth_mode=True)[..., 0]
+    if use_pallas:
+        img = pp.fused_preprocess(img_u8, img_params, out_hw=input_hw)
+        dep = pp.fused_preprocess(depth[..., None], dep_params,
+                                  out_hw=target_hw, depth_mode=True)[..., 0]
+    else:
+        prec = jax.lax.Precision.HIGHEST if precision is None else precision
+        img = pp.oracle_preprocess(img_u8, img_params, out_hw=input_hw,
+                                   precision=prec)
+        dep = pp.oracle_preprocess(depth[..., None], dep_params,
+                                   out_hw=target_hw, depth_mode=True,
+                                   precision=prec)[..., 0]
     return img, dep
