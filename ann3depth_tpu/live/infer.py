@@ -128,3 +128,59 @@ class LiveEngine:
             d, r = self._step(frame)
         jax.device_get(r[0, 0, 0])
         return (time.perf_counter() - t0) / n
+
+    # Conservative host-link assumption for the locally-attached-chip
+    # projection: TPU hosts attach chips over PCIe Gen3/4; 8 GB/s is the
+    # low end of practical pinned-memory DMA throughput.
+    LOCAL_LINK_GBPS = 8.0
+
+    def latency_decomposition(self, n: int = 30) -> dict:
+        """Split per-frame latency into H2D / device program / D2H and
+        project the end-to-end latency of a LOCALLY-ATTACHED chip.
+
+        In this environment the chip sits behind a network tunnel, so the
+        measured h2d/d2h are tunnel transport — reported for transparency,
+        but the [B:10] <15 ms target describes a local chip, where the
+        transfers are PCIe DMAs of the same byte counts. The projection is
+        program_ms + frame_bytes/LINK + rendered_bytes/LINK (milliseconds).
+        """
+        frame_np = np.zeros((1, *self.frame_hw, 3), np.uint8)
+        frame_bytes = frame_np.nbytes
+        dev = jnp.asarray(frame_np)
+        _, r0 = self._step(dev)
+        jax.device_get(r0[0, 0, 0])
+        rendered_bytes = (
+            self.display_hw[0] * self.display_hw[1] * 3)  # uint8 RGB out
+
+        # H2D (this host -> device, through whatever link exists here).
+        t0 = time.perf_counter()
+        for _ in range(n):
+            d = jnp.asarray(frame_np)
+            jax.device_get(d[0, 0, 0, 0])  # placement-complete sync
+        h2d = (time.perf_counter() - t0) / n
+
+        # device program, device-resident input
+        program = self.device_step_latency(n)
+
+        # D2H of the rendered frame
+        _, r = self._step(dev)
+        jax.device_get(r[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            np.asarray(jax.device_get(r))
+        d2h = (time.perf_counter() - t0) / n
+
+        local_link = self.LOCAL_LINK_GBPS * 1e9
+        projected = (program
+                     + frame_bytes / local_link
+                     + rendered_bytes / local_link)
+        return {
+            "h2d_ms_here": round(h2d * 1e3, 3),
+            "program_ms": round(program * 1e3, 3),
+            "d2h_ms_here": round(d2h * 1e3, 3),
+            "e2e_ms_here": round((h2d + program + d2h) * 1e3, 3),
+            "frame_bytes": int(frame_bytes),
+            "rendered_bytes": int(rendered_bytes),
+            "local_link_gbps_assumed": self.LOCAL_LINK_GBPS,
+            "projected_local_chip_e2e_ms": round(projected * 1e3, 3),
+        }

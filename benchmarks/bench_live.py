@@ -36,6 +36,7 @@ def run(cfg=None, frames: int = 100, record: bool = True) -> dict:
     eng = LiveEngine(state.apply_fn, state.params, cfg.live.frame_hw,
                      cfg.data.input_hw, display_hw=cfg.live.frame_hw)
     dev_ms = eng.device_step_latency() * 1e3
+    decomp = eng.latency_decomposition()
 
     src = SyntheticSource(cfg.live.frame_hw, fps=cfg.live.target_fps)
     stats = viewer.run(cfg, display=False, max_frames=frames, source=src,
@@ -46,6 +47,7 @@ def run(cfg=None, frames: int = 100, record: bool = True) -> dict:
         "backend": jax.default_backend(),
         "target_p50_ms": 15.0,
         "device_step_ms": round(dev_ms, 3),
+        "decomposition": decomp,
         **stats,
         "time": time.time(),
     }

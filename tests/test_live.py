@@ -114,6 +114,30 @@ def test_capture_thread_synthetic():
 
 
 @pytest.mark.slow
+def test_latency_decomposition_fields():
+    """LiveEngine.latency_decomposition: components measured, projection
+    consistent (program + transport at the assumed local link)."""
+    from ann3depth_tpu.config import ModelConfig
+    from ann3depth_tpu.live.infer import LiveEngine
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.train import step as steplib
+
+    model = registry.build(ModelConfig(name="small", compute_dtype="float32"))
+    params = steplib.init_params(model, (24, 32), seed=0)
+    eng = LiveEngine(model.apply, params, (48, 64), (24, 32),
+                     display_hw=(48, 64))
+    d = eng.latency_decomposition(n=3)
+    assert d["frame_bytes"] == 48 * 64 * 3
+    assert d["rendered_bytes"] == 48 * 64 * 3
+    for k in ("h2d_ms_here", "program_ms", "d2h_ms_here", "e2e_ms_here"):
+        assert d[k] > 0
+    transport_ms = (d["frame_bytes"] + d["rendered_bytes"]) / (
+        d["local_link_gbps_assumed"] * 1e9) * 1e3
+    assert d["projected_local_chip_e2e_ms"] == pytest.approx(
+        d["program_ms"] + transport_ms, abs=0.01)
+
+
+@pytest.mark.slow
 def test_live_loop_headless(tmp_path):
     """End-to-end: synthetic source -> ring -> engine -> stats [B:10]."""
     import dataclasses
