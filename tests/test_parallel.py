@@ -91,6 +91,38 @@ def test_batch_actually_sharded(cpu_mesh):
     assert y.addressable_shards[0].data.shape == (2, 8)
 
 
+@pytest.mark.slow
+def test_shard_map_step_matches_propagation_path(cpu_mesh):
+    """The explicit-collective shard_map step (parallel/shard_step.py)
+    equals the sharding-propagation step up to reduction order: same
+    batch, same replicated state, one step each."""
+    from ann3depth_tpu.parallel import shard_step as smlib
+
+    batch = 16
+    state, img, dep, kw = _setup(batch)
+    rng = jax.random.key(0)
+
+    with jax.default_matmul_precision("highest"):
+        state_a = meshlib.replicate(jax.tree.map(jnp.copy, state), cpu_mesh)
+        state_b = meshlib.replicate(state, cpu_mesh)
+        sh = meshlib.shard_batch({"i": img, "d": dep}, cpu_mesh)
+        rng_r = jax.device_put(rng, meshlib.replicated(cpu_mesh))
+
+        s1, m1 = steplib.train_step(state_a, sh["i"], sh["d"], rng_r, **kw)
+
+        step_fn = smlib.make_dp_train_step(
+            cpu_mesh, input_hw=kw["input_hw"], target_hw=kw["target_hw"],
+            si_lambda=kw["si_lambda"], augment=False,
+            resize_precision="highest")
+        s2, m2 = step_fn(state_b, sh["i"], sh["d"], rng_r)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=2e-4)
+
+
 def test_graft_entry_single():
     import __graft_entry__ as g
 
