@@ -92,6 +92,15 @@ def build_parser():
                     help="run headless (benchmark/latency mode)")
     pl.add_argument("--max-frames", type=int)
 
+    pi = sub.add_parser("infer", help="predict a depth map for image file(s)")
+    _common_flags(pi)
+    pi.add_argument("--image", required=True, nargs="+",
+                    help="input image file(s) (any size; resized on device)")
+    pi.add_argument("--out-dir", default=".",
+                    help="where <stem>_depth.npy and <stem>_depth.png go")
+    pi.add_argument("--no-png", action="store_true",
+                    help="skip the colormapped PNG, write only the .npy")
+
     pd = sub.add_parser("download", help="fetch + extract datasets")
     pd.add_argument("--dataset", required=True, choices=["make3d", "nyu"])
     pd.add_argument("--data-dir", default="data")
@@ -138,6 +147,45 @@ def main(argv=None):
                            display=not args.no_display,
                            max_frames=args.max_frames)
         print(json.dumps(stats))
+        return 0
+
+    if args.mode == "infer":
+        import os
+
+        import numpy as np
+        from PIL import Image
+
+        from ann3depth_tpu.train import loop
+        from ann3depth_tpu.train import step as steplib
+        from ann3depth_tpu.train.checkpoint import CheckpointManager
+        from ann3depth_tpu.utils import viz
+
+        cfg = _resolve(args)
+        state = loop.create_state(cfg)
+        ckpt = CheckpointManager(cfg.train.ckpt_dir)
+        state, restored = ckpt.restore(state)
+        ckpt.close()
+        if restored is None:
+            raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
+        os.makedirs(args.out_dir, exist_ok=True)
+        outputs = []
+        for path in args.image:
+            img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+            depth = np.asarray(steplib.infer_step(
+                state.apply_fn, state.params, img[None],
+                input_hw=cfg.data.input_hw))[0]
+            stem = os.path.splitext(os.path.basename(path))[0]
+            npy = os.path.join(args.out_dir, f"{stem}_depth.npy")
+            np.save(npy, depth)
+            rec = {"image": path, "depth_npy": npy,
+                   "depth_min_m": round(float(depth.min()), 3),
+                   "depth_max_m": round(float(depth.max()), 3)}
+            if not args.no_png:
+                png = os.path.join(args.out_dir, f"{stem}_depth.png")
+                viz.save_png(png, viz.colormap_depth(depth))
+                rec["depth_png"] = png
+            outputs.append(rec)
+        print(json.dumps(outputs))
         return 0
 
     if args.mode == "download":

@@ -19,6 +19,39 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+def interleave_batches(datasets, batch_size: int, *,
+                       steps: Optional[int] = None, shuffle: bool = True,
+                       seed: int = 0) -> Iterator:
+    """Round-robin whole batches from several datasets (multi-dataset
+    training, the reference CLI's dataset-list surface, SURVEY §2.1 CLI
+    row / [B:5]).
+
+    Interleaving at BATCH granularity keeps every yielded batch
+    shape-uniform even when the sources have different raw image/depth
+    grids (Make3D's 2272x1704+305x55 vs NYU's 640x480) — the jitted train
+    step simply compiles one program per source shape, the TPU-friendly
+    alternative to host-side re-decoding everything to one raw size.
+    Each source repeats reshuffled epochs independently; iteration stops
+    after `steps` total batches (steps=None -> run until the shortest
+    source finishes one epoch)."""
+    its = [iter_batches(d, batch_size,
+                        steps=None if steps is None else steps,
+                        shuffle=shuffle, seed=seed + 17 * k)
+           for k, d in enumerate(datasets)]
+    step = 0
+    while its:
+        for it in list(its):
+            if steps is not None and step >= steps:
+                return
+            try:
+                yield next(it)
+                step += 1
+            except StopIteration:
+                its.remove(it)
+                if not its:
+                    return
+
+
 def iter_batches(dataset, batch_size: int, *, steps: Optional[int] = None,
                  shuffle: bool = True, seed: int = 0,
                  drop_remainder: bool = True) -> Iterator:

@@ -26,13 +26,13 @@ from ann3depth_tpu.utils.metrics_writer import MetricsWriter
 log = logging.getLogger(__name__)
 
 
-def build_dataset(cfg: Config, split="train"):
+def build_dataset(cfg: Config, split="train", name=None):
     """Dataset factory: name -> raw (uint8 rgb, f32 depth) batch source.
 
     Prefers pre-packed record shards (`prepare` subcommand) when present —
     zero decode work per epoch; falls back to the raw-file loaders.
     """
-    name = cfg.data.datasets[0]
+    name = name or cfg.data.datasets[0]
     if name == "synthetic":
         from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
         return SyntheticDepthDataset(seed=0 if split == "train" else 1)
@@ -87,7 +87,13 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     workdir = workdir or cfg.train.ckpt_dir
     if mesh is None:
         mesh = meshlib.create_mesh()
-    dataset = dataset or build_dataset(cfg, "train")
+    # An explicitly passed dataset overrides the config's dataset list;
+    # otherwise every configured dataset trains (batch-interleaved).
+    extra_datasets = []
+    if dataset is None:
+        dataset = build_dataset(cfg, "train")
+        extra_datasets = [build_dataset(cfg, "train", name=n)
+                          for n in cfg.data.datasets[1:]]
 
     state = create_state(cfg, mesh)
     ckpt = CheckpointManager(cfg.train.ckpt_dir)
@@ -109,11 +115,22 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
 
     n_steps = cfg.train.steps - start_step
     if cfg.data.use_grain:
+        if extra_datasets:
+            raise NotImplementedError(
+                "use_grain with multiple datasets is not wired; drop "
+                "--use-grain or train on one dataset")
         from ann3depth_tpu.pipeline.grain_loader import grain_batches
         host_iter = grain_batches(dataset, cfg.train.batch_size,
                                   steps=n_steps,
                                   seed=cfg.train.seed + start_step,
                                   num_workers=cfg.data.num_workers)
+    elif extra_datasets:
+        # Multi-dataset training: round-robin whole batches (each batch is
+        # shape-uniform; the jitted step compiles once per source shape).
+        from ann3depth_tpu.data.batching import interleave_batches
+        host_iter = interleave_batches([dataset, *extra_datasets],
+                                       cfg.train.batch_size, steps=n_steps,
+                                       seed=cfg.train.seed + start_step)
     else:
         host_iter = dataset.batches(cfg.train.batch_size, steps=n_steps,
                                     seed=cfg.train.seed + start_step)

@@ -260,6 +260,30 @@ def test_download_layout_verification_reports_missing(tmp_path):
         dl._verify_layout("make3d", str(tmp_path / "make3d"))
 
 
+def test_interleave_batches_round_robin_mixed_shapes():
+    """Multi-dataset training interleaves WHOLE batches so each batch stays
+    shape-uniform even when sources differ (Make3D vs NYU raw grids)."""
+    from ann3depth_tpu.data.batching import interleave_batches
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+
+    a = SyntheticDepthDataset(n=8, img_hw=(16, 16), depth_hw=(8, 8), seed=0)
+    b = SyntheticDepthDataset(n=8, img_hw=(24, 32), depth_hw=(12, 16), seed=1)
+    batches = list(interleave_batches([a, b], 4, steps=6, seed=0))
+    assert len(batches) == 6
+    shapes = [img.shape for img, _ in batches]
+    assert shapes == [(4, 16, 16, 3), (4, 24, 32, 3)] * 3  # strict round-robin
+
+
+def test_interleave_batches_exhausts_on_epoch():
+    from ann3depth_tpu.data.batching import interleave_batches
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+
+    a = SyntheticDepthDataset(n=8, img_hw=(8, 8), depth_hw=(4, 4))
+    b = SyntheticDepthDataset(n=4, img_hw=(8, 8), depth_hw=(4, 4))
+    # steps=None -> one epoch per source: 2 + 1 = 3 batches
+    assert len(list(interleave_batches([a, b], 4, steps=None))) == 3
+
+
 def test_records_pack_empty_raises(tmp_path):
     from ann3depth_tpu.data.records import pack
     from ann3depth_tpu.data.synthetic import SyntheticDepthDataset

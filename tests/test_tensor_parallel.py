@@ -43,8 +43,10 @@ def test_dp_tp_matches_single_device(cpu_mesh):
     batch = 8
     img = rng_np.integers(0, 256, (batch, 40, 40, 3), dtype=np.uint8)
     dep = rng_np.uniform(1.0, 50.0, (batch, 20, 20)).astype(np.float32)
+    # resize_precision "highest": truncated-f32 dots tile differently under
+    # partitioning (cf. test_parallel), breaking the equality this asserts.
     kw = dict(input_hw=(32, 32), target_hw=(32, 32), si_lambda=0.5,
-              augment=False)
+              augment=False, resize_precision="highest")
 
     with jax.default_matmul_precision("highest"):
         # single device

@@ -94,6 +94,44 @@ def test_eval_loop_runs(tmp_path):
         assert k in metrics and np.isfinite(metrics[k])
 
 
+def test_multi_dataset_training_interleaves(tmp_path):
+    """cfg.data.datasets with >1 entry trains over all of them,
+    batch-interleaved (the reference CLI's dataset-list surface)."""
+    cfg = _smoke_cfg(tmp_path, steps=4, batch_size=2, checkpoint_every=100,
+                     log_every=2, warmup_steps=0)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(
+            cfg.data, datasets=("synthetic", "synthetic")))
+    state, metrics = looplib.train(cfg, workdir=str(tmp_path), progress=False)
+    assert int(state.step) == 4
+    assert np.isfinite(metrics["loss"])
+
+
+@pytest.mark.slow
+def test_cli_infer_writes_depth_files(tmp_path, capsys):
+    from PIL import Image
+
+    from ann3depth_tpu.cli import main
+
+    rc = main(["train", "--config", "smoke", "--steps", "4",
+               "--batch-size", "2", "--ckpt-dir", str(tmp_path / "c"),
+               "--workdir", str(tmp_path)])
+    assert rc == 0
+    capsys.readouterr()
+    img = np.random.default_rng(0).integers(0, 256, (60, 80, 3), np.uint8)
+    Image.fromarray(img).save(tmp_path / "frame.jpg")
+    rc = main(["infer", "--config", "smoke", "--ckpt-dir",
+               str(tmp_path / "c"), "--image", str(tmp_path / "frame.jpg"),
+               "--out-dir", str(tmp_path / "out")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out) == 1
+    depth = np.load(out[0]["depth_npy"])
+    assert depth.ndim == 2 and np.isfinite(depth).all() and (depth > 0).all()
+    import os
+    assert os.path.exists(out[0]["depth_png"])
+
+
 def test_cli_train_smoke(tmp_path, capsys):
     from ann3depth_tpu.cli import main
     rc = main(["train", "--config", "smoke", "--steps", "5",
