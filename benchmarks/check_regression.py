@@ -18,7 +18,7 @@ import sys
 # robust to the tunnel's per-dispatch RTT weather, see bench_train.py)
 FLOORS = {
     "encdec_b16_images_per_sec": (6000.0, 7663.0),
-    "dpt384_b8_images_per_sec": (400.0, 540.0),
+    "dpt384_b8_images_per_sec": (450.0, 584.0),
     "live_device_step_ms_max": (5.0, 1.55),  # upper bound
     # Efficiency floor (VERDICT r1): catches "still fast in img/s but
     # regressed in MFU" after model-capacity changes. r2 measured 0.307

@@ -51,9 +51,10 @@ def test_config1_small_batch1_cpu_full_res():
     assert looplib.resolved_target_hw(cfg) == (30, 40)
 
 
-def test_dpt_preset_has_remat():
+def test_dpt_preset_shape_and_remat_default():
     cfg = get_config("dpt-384")
-    assert cfg.model.remat is True
+    # remat off by default: fits HBM at b8 and measured faster (config.py)
+    assert cfg.model.remat is False
     assert cfg.data.input_hw == (384, 384)
 
 
