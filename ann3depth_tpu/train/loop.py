@@ -152,6 +152,13 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
 
             if (step_no + 1) % cfg.train.log_every == 0 or i == n_steps - 1:
                 metrics = jax.device_get(metrics)  # sync point
+                if not np.isfinite(metrics["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite loss {metrics['loss']} at step "
+                        f"{step_no + 1} (grad_norm="
+                        f"{metrics.get('grad_norm')}); last good checkpoint "
+                        f"is in {cfg.train.ckpt_dir} — lower the learning "
+                        "rate or inspect the data batch")
                 dt = time.perf_counter() - t0
                 ips = imgs_since / dt if dt > 0 else 0.0
                 writer.write(step_no + 1, metrics, images_per_sec=ips)
@@ -226,18 +233,23 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
         if restored is None:
             raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
 
+    # Accumulate stats as DEVICE scalars (adds dispatch async, overlapping
+    # the next batch's step) and fetch once at the end: one host<->device
+    # sync per eval, not per batch — through this environment's tunnel a
+    # per-batch device_get costs ~25 ms.
     totals = {}
     for b, (img_u8, depth) in enumerate(
             dataset.batches(cfg.train.batch_size, steps=max_batches,
                             shuffle=False)):
-        stats = jax.device_get(steplib.eval_stats_step(
+        stats = steplib.eval_stats_step(
             state, img_u8, depth,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
-            si_lambda=cfg.train.si_lambda, use_pallas=_use_pallas(cfg)))
+            si_lambda=cfg.train.si_lambda, use_pallas=_use_pallas(cfg))
         for k, v in stats.items():
-            totals[k] = totals.get(k, 0.0) + float(v)
+            totals[k] = totals[k] + v if k in totals else v
         if max_batches is not None and b + 1 >= max_batches:
             break
     if not totals:
         raise ValueError("eval split yielded no batches")
+    totals = {k: float(v) for k, v in jax.device_get(totals).items()}
     return losses.finalize_depth_metrics(totals)

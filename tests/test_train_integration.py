@@ -94,6 +94,16 @@ def test_eval_loop_runs(tmp_path):
         assert k in metrics and np.isfinite(metrics[k])
 
 
+def test_train_halts_on_nonfinite_loss(tmp_path):
+    """Divergence guard (SURVEY §5 failure detection): a blown-up run must
+    halt with a clear error at the next log point, not spin on NaNs."""
+    cfg = _smoke_cfg(tmp_path, steps=40, batch_size=2, log_every=5,
+                     checkpoint_every=1000, warmup_steps=0,
+                     learning_rate=1e18)  # guaranteed blow-up
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        looplib.train(cfg, workdir=str(tmp_path), progress=False)
+
+
 def test_multi_dataset_training_interleaves(tmp_path):
     """cfg.data.datasets with >1 entry trains over all of them,
     batch-interleaved (the reference CLI's dataset-list surface)."""
