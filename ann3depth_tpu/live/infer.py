@@ -39,12 +39,17 @@ def _turbo_lut():
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw",
-                                             "display_hw", "use_pallas"))
+                                             "display_hw", "use_pallas",
+                                             "emit_s2d"))
 def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
-              use_pallas=False):
-    """[1, H, W, 3] uint8 -> (depth [1, h, w], rendered [1, Hd, Wd, 3] u8)."""
+              use_pallas=False, emit_s2d=0):
+    """[1, H, W, 3] uint8 -> (depth [1, h, w], rendered [1, Hd, Wd, 3] u8).
+
+    emit_s2d: hand the model the pre-space-to-depth layout straight from
+    the preprocess matmuls (encdec stems; train/loop.py wires the same)."""
     images = preprocess.preprocess_image(frame_u8, input_hw,
-                                         use_pallas=use_pallas)
+                                         use_pallas=use_pallas,
+                                         emit_s2d=emit_s2d)
     pred_log = apply_fn({"params": params}, images)
     depth = jnp.exp(pred_log[..., 0])
 
@@ -54,9 +59,16 @@ def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
     hi = jnp.max(logd, axis=(1, 2), keepdims=True)
     norm = (logd - lo) / jnp.maximum(hi - lo, 1e-6)
 
-    # upscale to display resolution on device, then colormap via LUT gather
+    # upscale to display resolution on device, then colormap via LUT gather.
+    # Exact integer upscale goes through the fixed-matmul path (keeps NHWC,
+    # no gather transposes — ops/resize.upsample_matmul).
     b, h, w = norm.shape
-    disp = jax.image.resize(norm, (b, *display_hw), method="bilinear")
+    dh, dw = display_hw
+    if dh % h == 0 and dw % w == 0 and dh // h == dw // w and dh > h:
+        from ann3depth_tpu.ops.resize import upsample_matmul
+        disp = upsample_matmul(norm[..., None], dh // h)[..., 0]
+    else:
+        disp = jax.image.resize(norm, (b, *display_hw), method="bilinear")
     idx = jnp.clip((disp * 255.0).astype(jnp.int32), 0, 255)
     rendered = jnp.take(_turbo_lut(), idx, axis=0).astype(jnp.uint8)
     return depth, rendered
@@ -66,7 +78,7 @@ class LiveEngine:
     """Premapped, precompiled per-frame inference."""
 
     def __init__(self, apply_fn, params, frame_hw, input_hw,
-                 display_hw=None, use_pallas=None):
+                 display_hw=None, use_pallas=None, emit_s2d=0):
         self.apply_fn = apply_fn
         self.params = jax.device_put(params)
         self.frame_hw = tuple(frame_hw)
@@ -75,6 +87,7 @@ class LiveEngine:
         if use_pallas is None:
             use_pallas = False  # XLA path fuses better in-program (BASELINE.md)
         self.use_pallas = bool(use_pallas)
+        self.emit_s2d = 0 if self.use_pallas else int(emit_s2d)
         # compile once at startup with a dummy frame; sync via device_get —
         # block_until_ready returns before the (server-side) compile
         # finishes on tunneled TPU backends (utils/tracing.py).
@@ -85,7 +98,7 @@ class LiveEngine:
     def _step(self, frame_dev):
         return live_step(self.apply_fn, self.params, frame_dev,
                          input_hw=self.input_hw, display_hw=self.display_hw,
-                         use_pallas=self.use_pallas)
+                         use_pallas=self.use_pallas, emit_s2d=self.emit_s2d)
 
     def infer(self, frame_u8: np.ndarray, fetch_depth: bool = False):
         """One frame -> (depth, rendered np [Hd,Wd,3], latency_s).

@@ -45,8 +45,10 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
             log.warning("no checkpoint in %s — running with random weights",
                         cfg.train.ckpt_dir)
 
+    from ann3depth_tpu.models import registry
     engine = LiveEngine(state.apply_fn, state.params, frame_hw,
-                        cfg.data.input_hw, display_hw=frame_hw)
+                        cfg.data.input_hw, display_hw=frame_hw,
+                        emit_s2d=registry.s2d_input_factor(cfg.model.name))
 
     if source is None:
         try:

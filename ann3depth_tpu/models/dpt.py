@@ -60,6 +60,7 @@ class FusionBlock(nn.Module):
     reassembled skip, then refine with convs."""
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    upsample: str = "resize"  # "matmul" | "resize" (identical math)
 
     @nn.compact
     def __call__(self, x, skip=None):
@@ -73,9 +74,7 @@ class FusionBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
                     use_bias=False)(y)
         x = x + y
-        b, h, w, c = x.shape
-        return jax.image.resize(x, (b, h * 2, w * 2, c),
-                                method="bilinear").astype(self.dtype)
+        return _up(x, 2, self.dtype, impl=self.upsample)
 
 
 class DPTDepthNet(nn.Module):
@@ -89,6 +88,7 @@ class DPTDepthNet(nn.Module):
     tap_layers: Sequence[int] = (2, 5, 8, 11)  # reassembled skip depths
     compute_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    upsample: str = "resize"  # fusion-head x2/x4: "matmul" | "resize"
 
     OUTPUT_STRIDE = 1  # full-resolution depth out
 
@@ -135,10 +135,14 @@ class DPTDepthNet(nn.Module):
         # Monotonic deepest-to-shallowest skip order (standard DPT): the
         # coarsest refinement consumes the deepest remaining tap.
         fuse = nn.remat(FusionBlock) if self.remat else FusionBlock
+        ups = self.upsample
         y = skips[-1]
-        y = fuse(self.fusion_features, dtype=dt, name="fuse3")(y, skips[-2])               # 2x
-        y = fuse(self.fusion_features, dtype=dt, name="fuse2")(y, _up(skips[-3], 2, dt))   # 4x
-        y = fuse(self.fusion_features, dtype=dt, name="fuse1")(y, _up(skips[-4], 4, dt))   # 8x = stride 2
+        y = fuse(self.fusion_features, dtype=dt, upsample=ups,
+                 name="fuse3")(y, skips[-2])                            # 2x
+        y = fuse(self.fusion_features, dtype=dt, upsample=ups,
+                 name="fuse2")(y, _up(skips[-3], 2, dt, impl=ups))      # 4x
+        y = fuse(self.fusion_features, dtype=dt, upsample=ups,
+                 name="fuse1")(y, _up(skips[-4], 4, dt, impl=ups))      # 8x = stride 2
 
         y = nn.Conv(64, (3, 3), padding="SAME", dtype=dt, name="head1")(y)
         y = nn.relu(y)
@@ -152,7 +156,10 @@ class DPTDepthNet(nn.Module):
         return tuple(input_hw)
 
 
-def _up(x, factor, dt):
+def _up(x, factor, dt, impl="resize"):
+    if impl == "matmul":
+        from ann3depth_tpu.ops.resize import upsample_matmul
+        return upsample_matmul(x.astype(dt), factor)
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, h * factor, w * factor, c),
                             method="bilinear").astype(dt)

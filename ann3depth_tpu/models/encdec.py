@@ -32,6 +32,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ann3depth_tpu.ops.resize import upsample2x_matmul
+
 
 def space_to_depth(x, factor: int = 2):
     """[B, H, W, C] -> [B, H/f, W/f, C*f*f] (free reshape, no compute)."""
@@ -47,13 +49,15 @@ class Stage(nn.Module):
     features: int
     strides: int = 2
     dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "group"  # "group" | "none" (perf-ablation knob)
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, (3, 3),
                     strides=(self.strides, self.strides), padding="SAME",
                     dtype=self.dtype, use_bias=False, name="conv_down")(x)
-        x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
+        if self.norm == "group":
+            x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
         x = nn.relu(x)
         y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
                     use_bias=False, name="conv_refine")(x)
@@ -71,14 +75,20 @@ class UpStage(nn.Module):
     features: int
     refine: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    upsample: str = "matmul"  # "matmul" | "resize" (identical math; matmul
+    #   keeps NHWC through the dots instead of transposing around a
+    #   gather-based resize — measured faster, benchmarks/exp_micro_opts)
 
     @nn.compact
     def __call__(self, x, skip):
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype, use_bias=False,
                     name="proj_down")(x)
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c),
-                             method="bilinear").astype(self.dtype)
+        if self.upsample == "matmul":
+            x = upsample2x_matmul(x)
+        else:
+            x = jax.image.resize(x, (b, h * 2, w * 2, c),
+                                 method="bilinear").astype(self.dtype)
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
                     use_bias=False, name="conv_up")(x)
         skip = nn.Conv(self.features, (1, 1), dtype=self.dtype,
@@ -107,31 +117,51 @@ class EncDecDepthNet(nn.Module):
     remat: bool = False
     # Stage widths at strides 4, 8, 16 relative to the input.
     enc_widths: Sequence[int] = (64, 128, 256)
+    norm: str = "group"          # "group" | "none" (perf-ablation knob;
+    #   "none" measured SLOWER in-step and trains worse — GN stats are
+    #   fused ~free, benchmarks/exp_micro_opts)
+    upsample: str = "matmul"     # decoder x2: "matmul" | "resize"
+    # Preprocess may hand this model pre-space-to-depth input directly
+    # (train/loop.py wires emit_s2d for the XLA preprocess path).
+    S2D_INPUT_FACTOR = 4
 
     OUTPUT_STRIDE = 2  # input HW -> output HW ratio [B:8]
 
     @nn.compact
     def __call__(self, x):
-        """x: [B, H, W, 3] normalized f32 -> [B, H/2, W/2, 1] log-depth f32."""
+        """x: [B, H, W, 3] normalized f32 -> [B, H/2, W/2, 1] log-depth f32.
+
+        Also accepts the pre-space-to-depth layout [B, H/4, W/4, 48]
+        (channel = dy*12 + dx*3 + ch) emitted by
+        `ops.pallas_preprocess.oracle_preprocess_s2d` — byte-identical
+        features, but the relayout fuses into the preprocess matmuls
+        instead of costing a separate HBM copy pass."""
         wm = lambda c: max(32, int(c * self.width_mult) // 8 * 8)
         dt = self.compute_dtype
-        x = space_to_depth(x.astype(dt), 4)  # stride 4 for free
+        if x.shape[-1] == 3:
+            x = space_to_depth(x.astype(dt), 4)  # stride 4 for free
+        else:
+            assert x.shape[-1] == 48, x.shape  # pre-s2d input
+            x = x.astype(dt)
 
         stage = nn.remat(Stage) if self.remat else Stage
         up = nn.remat(UpStage) if self.remat else UpStage
 
         # Encoder. Stage 0 runs at stride 1 (input already at stride 4).
         widths = [wm(c) for c in self.enc_widths]
-        x = stage(widths[0], strides=1, dtype=dt, name="enc0")(x)
+        x = stage(widths[0], strides=1, dtype=dt, norm=self.norm,
+                  name="enc0")(x)
         skips = [x]
         for i, c in enumerate(widths[1:], start=1):
-            x = stage(c, strides=2, dtype=dt, name=f"enc{i}")(x)
+            x = stage(c, strides=2, dtype=dt, norm=self.norm,
+                      name=f"enc{i}")(x)
             skips.append(x)
 
         # Decoder back to stride 4 with additive projected skips.
         for i, c in enumerate(reversed(widths[:-1])):
             skip = skips[len(widths) - 2 - i]
-            x = up(c, dtype=dt, name=f"dec{i}")(x, skip)
+            x = up(c, dtype=dt, upsample=self.upsample,
+                   name=f"dec{i}")(x, skip)
 
         # Head: f32 3x3 conv to 1 channel at stride 4, then bilinear x2 on
         # the single-channel log-depth map -> stride 2.

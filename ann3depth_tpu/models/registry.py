@@ -73,3 +73,14 @@ def output_hw(name: str, input_hw):
         from ann3depth_tpu.models.dpt import DPTDepthNet
         return DPTDepthNet.output_hw(input_hw)
     raise KeyError(name)
+
+
+def s2d_input_factor(name: str) -> int:
+    """Space-to-depth factor of pre-s2d input the model's stem accepts
+    directly (0 = RGB only). The XLA preprocess can emit that layout in
+    place (ops/pallas_preprocess.oracle_preprocess_s2d), fusing the stem
+    relayout into the resize matmuls — train/loop.py wires it."""
+    if name == "encdec":
+        from ann3depth_tpu.models.encdec import EncDecDepthNet
+        return EncDecDepthNet.S2D_INPUT_FACTOR
+    return 0

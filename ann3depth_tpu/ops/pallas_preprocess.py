@@ -276,3 +276,48 @@ def oracle_preprocess(frames, params, *, out_hw, norm=True, depth_mode=False,
     return jax.vmap(one)(frames, g["y_start"], g["y_scale"], g["x_start"],
                          g["x_scale"], g["out_scale"], g["brightness"],
                          g["contrast"], g["photo"])
+
+
+def oracle_preprocess_s2d(frames, params, *, out_hw, factor=4,
+                          precision=jax.lax.Precision.DEFAULT,
+                          out_dtype=jnp.bfloat16):
+    """RGB preprocess emitting the space-to-depth layout directly.
+
+    Identical math to `oracle_preprocess(norm=True)` followed by
+    `models.encdec.space_to_depth(x, factor)` and a cast to `out_dtype` —
+    but the row/column resize matmuls carry the (dy, dx) sub-pixel axes as
+    separate einsum output dims, so the stem's reshape-transpose relayout
+    and the separate bf16 cast pass never exist as HBM copies (they were
+    ~180 us/step at b16 — docs/design.md §2b, the "emit the s2d layout
+    directly" lever).
+
+    Output: [B, h/f, w/f, f*f*C] with channel index dy*(f*C) + dx*C + ch,
+    exactly `space_to_depth`'s layout.
+    """
+    b, h_in, w_in, c = frames.shape
+    h_out, w_out = out_hw
+    f = factor
+    assert h_out % f == 0 and w_out % f == 0, (out_hw, f)
+    g = geometry_of(params)
+    mean = jnp.asarray(ref.RGB_MEAN, jnp.float32)
+    std = jnp.asarray(ref.RGB_STD, jnp.float32)
+
+    def one(frame, y_start, y_scale, x_start, x_scale, brightness,
+            contrast, photo):
+        ay = triangle_matrix(h_out, h_in, y_start, y_scale)
+        ax = triangle_matrix(w_out, w_in, x_start, x_scale)
+        x = frame.astype(jnp.float32)
+        z = jnp.einsum("qdh,hwc->qdwc", ay.reshape(h_out // f, f, h_in), x,
+                       precision=precision)
+        z = jnp.einsum("pew,qdwc->qpdec", ax.reshape(w_out // f, f, w_in), z,
+                       precision=precision)
+        n = (z / 255.0 - mean) / std
+        m = jnp.mean(n)
+        jit_ = (n - m) * contrast + m + brightness
+        out = jnp.where(photo > 0.5, jit_, n)
+        return out.reshape(h_out // f, w_out // f, f * f * c)
+
+    out = jax.vmap(one)(frames, g["y_start"], g["y_scale"], g["x_start"],
+                        g["x_scale"], g["brightness"], g["contrast"],
+                        g["photo"])
+    return out.astype(out_dtype)

@@ -92,6 +92,35 @@ def triangle_matrix_interleaved(in_size: int, out_size: int, channels: int,
     return w / jnp.maximum(jnp.sum(w, axis=0, keepdims=True), 1e-8)
 
 
+def upsample_matmul(x, factor: int = 2, precision=None):
+    """Bilinear integer-factor upsample of [B, H, W, C] as two fixed matmuls.
+
+    Mathematically identical to `jax.image.resize(..., "bilinear")` at an
+    exact integer factor (half-pixel centers, scale=1/f), but expressed as
+    einsum dots so XLA keeps the surrounding NHWC layout instead of
+    inserting transposes around a gather-based resize (measured ~80 us/step
+    of copies at encdec b16 — docs/design.md §2b). Runs in x.dtype.
+
+    precision None -> HIGHEST for f32 inputs (DEFAULT would truncate the
+    operands, and the DP-equality tests need partition-invariant f32 math);
+    bf16 inputs run native MXU bf16 where the flag is moot.
+    """
+    b, h, w, c = x.shape
+    f = factor
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    ay = triangle_matrix(h * f, h, 0.0, 1.0 / f).astype(x.dtype)
+    ax = triangle_matrix(w * f, w, 0.0, 1.0 / f).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", ay, x, precision=precision)
+    return jnp.einsum("pw,bowc->bopc", ax, y, precision=precision)
+
+
+def upsample2x_matmul(x, precision=None):
+    """Bilinear x2 upsample as two fixed matmuls (see upsample_matmul)."""
+    return upsample_matmul(x, 2, precision=precision)
+
+
 def resample_2d(x, out_hw, y_start=0.0, y_scale=None, x_start=0.0,
                 x_scale=None):
     """Oracle 2-D resample of [H, W, C] via two einsum matmuls."""

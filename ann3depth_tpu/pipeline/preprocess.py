@@ -50,10 +50,17 @@ def resize_bilinear(x, hw):
     return jax.image.resize(x, shape, method="bilinear")
 
 
-def preprocess_image(img_u8, input_hw, use_pallas=False):
-    """uint8 [B, H, W, 3] -> normalized f32 [B, h, w, 3] (no augment)."""
+def preprocess_image(img_u8, input_hw, use_pallas=False, emit_s2d=0):
+    """uint8 [B, H, W, 3] -> normalized f32 [B, h, w, 3] (no augment).
+
+    emit_s2d: nonzero (XLA path) -> pre-space-to-depth bf16 layout
+    [B, h/f, w/f, f*f*3] for stems that consume it directly (encdec)."""
     b, h, w, _ = img_u8.shape
     params = pp.identity_params(b, (h, w), input_hw)
+    if emit_s2d and not use_pallas:
+        return pp.oracle_preprocess_s2d(img_u8, params,
+                                        out_hw=tuple(input_hw),
+                                        factor=emit_s2d)
     fn = pp.fused_preprocess if use_pallas else pp.oracle_preprocess
     return fn(img_u8, params, out_hw=tuple(input_hw))
 
@@ -69,7 +76,7 @@ def preprocess_depth(depth, target_hw, use_pallas=False):
 
 
 def preprocess_batch(img_u8, depth, input_hw, target_hw, key=None,
-                     use_pallas=False, precision=None):
+                     use_pallas=False, precision=None, emit_s2d=0):
     """Full pipeline: raw uint8 + raw depth -> model-ready (img, depth).
 
     key=None -> eval path (plain resize+normalize); key given -> train
@@ -80,6 +87,11 @@ def preprocess_batch(img_u8, depth, input_hw, target_hw, key=None,
     truncation noise). The train step passes DEFAULT: the model computes
     in bf16 anyway and exact-f32 resize costs ~11% of the step (measured
     2.35 -> 2.10 ms/step at b16, BASELINE.md).
+
+    emit_s2d: if nonzero (XLA path only), the image comes back as the
+    pre-space-to-depth bf16 layout [B, h/f, w/f, f*f*3] the encdec stem
+    consumes directly (ops/pallas_preprocess.oracle_preprocess_s2d) —
+    the stem relayout copies fuse into the resize matmuls.
     """
     import jax
 
@@ -101,8 +113,13 @@ def preprocess_batch(img_u8, depth, input_hw, target_hw, key=None,
                                   out_hw=target_hw, depth_mode=True)[..., 0]
     else:
         prec = jax.lax.Precision.HIGHEST if precision is None else precision
-        img = pp.oracle_preprocess(img_u8, img_params, out_hw=input_hw,
-                                   precision=prec)
+        if emit_s2d:
+            img = pp.oracle_preprocess_s2d(img_u8, img_params,
+                                           out_hw=input_hw, factor=emit_s2d,
+                                           precision=prec)
+        else:
+            img = pp.oracle_preprocess(img_u8, img_params, out_hw=input_hw,
+                                       precision=prec)
         dep = pp.oracle_preprocess(depth[..., None], dep_params,
                                    out_hw=target_hw, depth_mode=True,
                                    precision=prec)[..., 0]

@@ -139,7 +139,11 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     step_kwargs = dict(input_hw=cfg.data.input_hw,
                        target_hw=resolved_target_hw(cfg),
                        si_lambda=cfg.train.si_lambda, augment=cfg.data.augment,
-                       use_pallas=_use_pallas(cfg))
+                       use_pallas=_use_pallas(cfg),
+                       # XLA preprocess emits the stem's s2d layout directly
+                       # for models that accept it (+~5% step time, encdec).
+                       emit_s2d=0 if _use_pallas(cfg)
+                       else registry.s2d_input_factor(cfg.model.name))
     metrics = {}
     t0 = time.perf_counter()
     imgs_since = 0

@@ -69,12 +69,12 @@ def loss_fn(params, apply_fn, images, depths, si_lambda):
 @functools.partial(
     jax.jit,
     static_argnames=("input_hw", "target_hw", "si_lambda", "augment",
-                     "use_pallas", "resize_precision"),
+                     "use_pallas", "resize_precision", "emit_s2d"),
     donate_argnames=("state",),
 )
 def train_step(state: TrainState, img_u8, depth_raw, rng, *,
                input_hw, target_hw, si_lambda=0.5, augment=False,
-               use_pallas=False, resize_precision="default"):
+               use_pallas=False, resize_precision="default", emit_s2d=0):
     """One fused device step: preprocess -> fwd -> bwd -> update.
 
     img_u8:    [B, H, W, 3] raw uint8 frames (any source size)
@@ -86,13 +86,16 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
       resize is wasted MXU passes — ~11% of the step, BASELINE.md) or
       "highest" (exact f32; the DP-vs-single-device equality tests need it
       because truncated-f32 dots tile differently under partitioning).
+    emit_s2d: nonzero -> the XLA preprocess emits the pre-space-to-depth
+      bf16 layout the encdec stem consumes directly (no relayout copies;
+      pipeline/preprocess.preprocess_batch). encdec-family models only.
     """
     key = jax.random.fold_in(rng, state.step) if augment else None
     prec = (jax.lax.Precision.HIGHEST if resize_precision == "highest"
             else jax.lax.Precision.DEFAULT)
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=key,
-        use_pallas=use_pallas, precision=prec)
+        use_pallas=use_pallas, precision=prec, emit_s2d=emit_s2d)
 
     (loss, pred_log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, state.apply_fn, images, depths, si_lambda)

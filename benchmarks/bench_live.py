@@ -33,8 +33,10 @@ def run(cfg=None, frames: int = 100, record: bool = True) -> dict:
     # end-to-end stats below additionally pay this environment's tunnel
     # transport (~25-105 ms/frame RTT+D2H), which a local chip does not.
     from ann3depth_tpu.live.infer import LiveEngine
+    from ann3depth_tpu.models import registry
     eng = LiveEngine(state.apply_fn, state.params, cfg.live.frame_hw,
-                     cfg.data.input_hw, display_hw=cfg.live.frame_hw)
+                     cfg.data.input_hw, display_hw=cfg.live.frame_hw,
+                     emit_s2d=registry.s2d_input_factor(cfg.model.name))
     dev_ms = eng.device_step_latency() * 1e3
     decomp = eng.latency_decomposition()
 

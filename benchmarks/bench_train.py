@@ -59,11 +59,14 @@ def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
     pool_dep = jax.device_put(np.stack([np.asarray(d) for _, d in pool]),
                               pool_sharding)
 
+    use_pallas = (cfg.data.preprocess_impl == "pallas"
+                  and jax.default_backend() == "tpu")
     kw = dict(input_hw=cfg.data.input_hw,
               target_hw=looplib.resolved_target_hw(cfg),
               si_lambda=cfg.train.si_lambda, augment=True,
-              use_pallas=cfg.data.preprocess_impl == "pallas"
-              and jax.default_backend() == "tpu")
+              use_pallas=use_pallas,
+              emit_s2d=0 if use_pallas
+              else registry.s2d_input_factor(cfg.model.name))
 
     # FLOPs of the compiled step from XLA's own cost analysis (MFU
     # numerator; benchmarks/flops.py). Lower() with the pre-warmup live

@@ -51,8 +51,10 @@ def main() -> int:
 
     cfg = get_config("live")
     state = looplib.create_state(cfg)
+    from ann3depth_tpu.models import registry
     eng = LiveEngine(state.apply_fn, state.params, cfg.live.frame_hw,
-                     cfg.data.input_hw, display_hw=cfg.live.frame_hw)
+                     cfg.data.input_hw, display_hw=cfg.live.frame_hw,
+                     emit_s2d=registry.s2d_input_factor(cfg.model.name))
     results["live_device_step_ms_max"] = eng.device_step_latency() * 1e3
 
     for key, (floor, ref) in FLOORS.items():

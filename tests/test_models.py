@@ -51,6 +51,21 @@ def test_forward_deterministic_golden(name):
     assert np.all(np.isfinite(np.asarray(y1)))
 
 
+def test_encdec_accepts_pre_s2d_input():
+    """forward(pre-s2d layout) is bitwise forward(rgb) — same ops after
+    the stem, relayout done by the caller (emit_s2d preprocess path)."""
+    from ann3depth_tpu.models.encdec import space_to_depth
+
+    cfg = ModelConfig(name="encdec", compute_dtype="float32")
+    model = registry.build(cfg)
+    params = steplib.init_params(model, (96, 128), seed=0)
+    x = jnp.asarray(np.random.default_rng(9).normal(0, 1, (2, 96, 128, 3)),
+                    jnp.float32)
+    y_rgb = jax.jit(model.apply)({"params": params}, x)
+    y_s2d = jax.jit(model.apply)({"params": params}, space_to_depth(x, 4))
+    np.testing.assert_array_equal(np.asarray(y_rgb), np.asarray(y_s2d))
+
+
 def test_encdec_bf16_params_stay_f32():
     cfg = ModelConfig(name="encdec", compute_dtype="bfloat16")
     model = registry.build(cfg)

@@ -54,6 +54,55 @@ def test_preprocess_batch_deterministic_in_key():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_s2d_emitting_preprocess_matches_oracle_plus_s2d():
+    """oracle_preprocess_s2d == space_to_depth(oracle_preprocess) exactly
+    (same math, relayout fused into the resize einsums)."""
+    from ann3depth_tpu.models.encdec import space_to_depth
+    from ann3depth_tpu.ops import pallas_preprocess as pp
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.integers(0, 256, (3, 56, 72, 3)), jnp.uint8)
+    params = pp.augment_params(jax.random.key(1), 3, (56, 72), (24, 32))
+    hi = jax.lax.Precision.HIGHEST
+    want = space_to_depth(
+        pp.oracle_preprocess(img, params, out_hw=(24, 32),
+                             precision=hi).astype(jnp.bfloat16), 4)
+    got = pp.oracle_preprocess_s2d(img, params, out_hw=(24, 32), factor=4,
+                                   precision=hi)
+    assert got.shape == want.shape == (3, 6, 8, 48)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_preprocess_batch_emit_s2d_path():
+    key = jax.random.key(7)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(0, 256, (2, 32, 40, 3)), jnp.uint8)
+    depth = jnp.asarray(rng.uniform(1, 50, (2, 16, 20)), jnp.float32)
+    im, dep = preprocess.preprocess_batch(img, depth, (16, 20), (8, 10),
+                                          key=key, emit_s2d=4)
+    assert im.shape == (2, 4, 5, 48) and im.dtype == jnp.bfloat16
+    assert dep.shape == (2, 8, 10)
+    # depth path identical to the rgb-emitting call (shares the same draw)
+    _, dep_ref = preprocess.preprocess_batch(img, depth, (16, 20), (8, 10),
+                                             key=key)
+    np.testing.assert_array_equal(np.asarray(dep), np.asarray(dep_ref))
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_upsample_matmul_matches_jax_resize(factor):
+    from ann3depth_tpu.ops.resize import upsample_matmul
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1, (2, 7, 9, 5)), jnp.float32)
+    got = upsample_matmul(x, factor)
+    want = jax.image.resize(x, (2, 7 * factor, 9 * factor, 5),
+                            method="bilinear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_preprocess_batch_jits():
     key = jax.random.key(0)
     img = jnp.zeros((2, 16, 20, 3), jnp.uint8)

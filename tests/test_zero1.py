@@ -1,0 +1,92 @@
+"""ZeRO-1 sharded-optimizer DP step (parallel/zero1.py) on the fake mesh:
+equals replicated-optimizer DP up to reduction order, and the Adam moments
+are actually sharded over the data axis."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ann3depth_tpu.config import ModelConfig
+from ann3depth_tpu.models import registry
+from ann3depth_tpu.parallel import mesh as meshlib
+from ann3depth_tpu.parallel import zero1
+from ann3depth_tpu.train import step as steplib
+
+
+def _setup(batch, input_hw=(48, 64), target_hw=(24, 32)):
+    model = registry.build(ModelConfig(name="encdec", compute_dtype="float32"))
+    params = steplib.init_params(model, input_hw, seed=0)
+    rng_np = np.random.default_rng(0)
+    img = rng_np.integers(0, 256, (batch, 56, 72, 3), dtype=np.uint8)
+    dep = rng_np.uniform(1.0, 50.0, (batch, 28, 36)).astype(np.float32)
+    return model, params, img, dep, dict(input_hw=input_hw,
+                                         target_hw=target_hw)
+
+
+@pytest.mark.slow
+def test_zero1_matches_replicated_dp(cpu_mesh):
+    """3 ZeRO-1 steps == 3 replicated-DP steps (same clip+adamw semantics,
+    tolerance: f32 reduction reassociation through scatter/gather)."""
+    batch = 16
+    lr = 1e-3
+    model, params, img, dep, hw = _setup(batch)
+    rng = jax.random.key(0)
+
+    with jax.default_matmul_precision("highest"):
+        # Reference: replicated optimizer (chain(clip, adamw) in step.py).
+        tx = steplib.make_optimizer(lr)
+        state = steplib.TrainState.create(model.apply,
+                                          jax.tree.map(jnp.copy, params), tx)
+        state = meshlib.replicate(state, cpu_mesh)
+        sh = meshlib.shard_batch({"i": img, "d": dep}, cpu_mesh)
+        rng_r = jax.device_put(rng, meshlib.replicated(cpu_mesh))
+        kw = dict(**hw, si_lambda=0.5, augment=False,
+                  resize_precision="highest")
+        for _ in range(3):
+            state, m_ref = steplib.train_step(state, sh["i"], sh["d"],
+                                              rng_r, **kw)
+
+        # ZeRO-1: sharded optimizer, explicit collectives.
+        init_fn, step_fn = zero1.make_zero1_train_step(
+            cpu_mesh, model.apply, params, **hw, si_lambda=0.5,
+            augment=False, resize_precision="highest", learning_rate=lr,
+            clip_norm=1.0, weight_decay=0.0)
+        p = meshlib.replicate(params, cpu_mesh)
+        opt = init_fn(p)
+        step_no = jax.device_put(jnp.zeros((), jnp.int32),
+                                 meshlib.replicated(cpu_mesh))
+        for _ in range(3):
+            p, opt, step_no, m_z = step_fn(p, opt, step_no, sh["i"],
+                                           sh["d"], rng_r)
+
+    assert float(m_ref["loss"]) == pytest.approx(float(m_z["loss"]),
+                                                 rel=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(p))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=3e-4)
+    assert int(step_no) == 3
+
+
+def test_zero1_opt_state_is_sharded(cpu_mesh):
+    """Adam moment leaves live over the data axis with 1/N per device."""
+    model, params, img, dep, hw = _setup(8)
+    init_fn, _ = zero1.make_zero1_train_step(
+        cpu_mesh, model.apply, params, **hw)
+    p = meshlib.replicate(params, cpu_mesh)
+    opt = init_fn(p)
+
+    n_dev = cpu_mesh.devices.size
+    moment_leaves = [l for l in jax.tree.leaves(opt) if l.ndim > 0]
+    assert moment_leaves, "no sharded moment leaves found"
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    for leaf in moment_leaves:
+        assert "data" in str(leaf.sharding.spec)
+        # global moment vector is the padded flat param count
+        local = leaf.addressable_shards[0].data.shape[0]
+        assert local * n_dev == leaf.shape[0]
+    total_moment = sum(int(l.shape[0]) for l in moment_leaves)
+    # mu + nu for every param element (each padded to chunk multiples)
+    assert total_moment >= 2 * n_params
+    assert total_moment <= 2 * (n_params + len(moment_leaves) * n_dev)
