@@ -40,16 +40,28 @@ class MLP(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype)(x)
 
 
+def _jnn_attention(query, key, value, bias=None, mask=None, **_kw):
+    """flax attention_fn adapter for jax.nn.dot_product_attention (the
+    XLA-fused SDPA path). Same [B, T, H, D] layout; DPT uses no mask/bias
+    and no dropout (deterministic=True)."""
+    del bias, mask
+    return jax.nn.dot_product_attention(query, key, value)
+
+
 class Block(nn.Module):
     dim: int
     heads: int
     dtype: jnp.dtype = jnp.bfloat16
+    attention_impl: str = "flax"  # "flax" | "jnn" (same params, same math)
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        attn_kw = ({"attention_fn": _jnn_attention}
+                   if self.attention_impl == "jnn" else {})
         y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, deterministic=True)(y, y)
+            num_heads=self.heads, dtype=self.dtype, deterministic=True,
+            **attn_kw)(y, y)
         x = x + y
         y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
         return x + MLP(self.dim, self.dim * 4, dtype=self.dtype)(y)
@@ -89,6 +101,7 @@ class DPTDepthNet(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
     upsample: str = "resize"  # fusion-head x2/x4: "matmul" | "resize"
+    attention_impl: str = "flax"  # inner SDPA: "flax" | "jnn"
 
     OUTPUT_STRIDE = 1  # full-resolution depth out
 
@@ -115,7 +128,9 @@ class DPTDepthNet(nn.Module):
         block = nn.remat(Block) if self.remat else Block
         taps = []
         for i in range(self.depth):
-            tok = block(self.dim, self.heads, dtype=dt, name=f"block{i}")(tok)
+            tok = block(self.dim, self.heads, dtype=dt,
+                        attention_impl=self.attention_impl,
+                        name=f"block{i}")(tok)
             if i in self.tap_layers:
                 taps.append(tok)
 
