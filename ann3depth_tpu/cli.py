@@ -39,6 +39,9 @@ def _common_flags(p):
                         "decode; see DataConfig.use_grain)")
     p.add_argument("--num-workers", type=int,
                    help="grain worker processes (implies --use-grain)")
+    p.add_argument("--quant", choices=["none", "int8"],
+                   help="serving-only int8 MXU convs (encdec; eval/live/"
+                        "infer — rejected for train)")
 
 
 def _resolve(args) -> cfglib.Config:
@@ -53,6 +56,7 @@ def _resolve(args) -> cfglib.Config:
     if args.learning_rate: train["learning_rate"] = args.learning_rate
     if args.seed is not None: train["seed"] = args.seed
     if getattr(args, "preprocess_impl", None): data["preprocess_impl"] = args.preprocess_impl
+    if getattr(args, "quant", None): model["quant"] = args.quant
     if getattr(args, "use_grain", False): data["use_grain"] = True
     if getattr(args, "num_workers", None):
         data["use_grain"] = True

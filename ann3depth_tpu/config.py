@@ -41,6 +41,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # MXU-native compute; params stay f32
     width_mult: float = 1.0
     remat: bool = False            # jax.checkpoint stage blocks (HBM vs FLOPs)
+    # Serving-only: int8 MXU convs (encdec), dynamic activation scales,
+    # param tree unchanged — measured +12% serving throughput at ~1% mean
+    # depth divergence (benchmarks/exp_int8_infer.py). Rejected for
+    # training (round() kills gradients); loop.train asserts "none".
+    quant: str = "none"            # "none" | "int8"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,6 +35,19 @@ import jax.numpy as jnp
 from ann3depth_tpu.ops.resize import upsample2x_matmul
 
 
+def _conv(features, kernel_size, *, strides=(1, 1), dtype, quant, name):
+    """nn.Conv(use_bias=False) or its param-compatible int8 twin
+    (ops/quant.QConv) — selected by the model's `quant` field; the param
+    tree is identical either way, so bf16-trained checkpoints serve int8
+    without conversion."""
+    if quant == "int8":
+        from ann3depth_tpu.ops.quant import QConv
+        return QConv(features, kernel_size, strides, out_dtype=dtype,
+                     name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding="SAME",
+                   dtype=dtype, use_bias=False, name=name)
+
+
 def space_to_depth(x, factor: int = 2):
     """[B, H, W, C] -> [B, H/f, W/f, C*f*f] (free reshape, no compute)."""
     b, h, w, c = x.shape
@@ -50,17 +63,18 @@ class Stage(nn.Module):
     strides: int = 2
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "group"  # "group" | "none" (perf-ablation knob)
+    quant: str = "none"  # "none" | "int8" (serving path; ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3),
-                    strides=(self.strides, self.strides), padding="SAME",
-                    dtype=self.dtype, use_bias=False, name="conv_down")(x)
+        x = _conv(self.features, (3, 3),
+                  strides=(self.strides, self.strides), dtype=self.dtype,
+                  quant=self.quant, name="conv_down")(x)
         if self.norm == "group":
             x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
         x = nn.relu(x)
-        y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
-                    use_bias=False, name="conv_refine")(x)
+        y = _conv(self.features, (3, 3), dtype=self.dtype, quant=self.quant,
+                  name="conv_refine")(x)
         return nn.relu(x + y)  # residual refine
 
 
@@ -78,25 +92,26 @@ class UpStage(nn.Module):
     upsample: str = "matmul"  # "matmul" | "resize" (identical math; matmul
     #   keeps NHWC through the dots instead of transposing around a
     #   gather-based resize — measured faster, benchmarks/exp_micro_opts)
+    quant: str = "none"  # "none" | "int8" (serving path; ops/quant.py)
 
     @nn.compact
     def __call__(self, x, skip):
-        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, use_bias=False,
-                    name="proj_down")(x)
+        x = _conv(self.features, (1, 1), dtype=self.dtype, quant=self.quant,
+                  name="proj_down")(x)
         b, h, w, c = x.shape
         if self.upsample == "matmul":
             x = upsample2x_matmul(x)
         else:
             x = jax.image.resize(x, (b, h * 2, w * 2, c),
                                  method="bilinear").astype(self.dtype)
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
-                    use_bias=False, name="conv_up")(x)
-        skip = nn.Conv(self.features, (1, 1), dtype=self.dtype,
-                       use_bias=False, name="proj_skip")(skip)
+        x = _conv(self.features, (3, 3), dtype=self.dtype, quant=self.quant,
+                  name="conv_up")(x)
+        skip = _conv(self.features, (1, 1), dtype=self.dtype,
+                     quant=self.quant, name="proj_skip")(skip)
         x = nn.relu(x + skip)
         if self.refine:
-            y = nn.Conv(self.features, (3, 3), padding="SAME",
-                        dtype=self.dtype, use_bias=False, name="conv_refine")(x)
+            y = _conv(self.features, (3, 3), dtype=self.dtype,
+                      quant=self.quant, name="conv_refine")(x)
             x = nn.relu(x + y)
         return x
 
@@ -121,6 +136,8 @@ class EncDecDepthNet(nn.Module):
     #   "none" measured SLOWER in-step and trains worse — GN stats are
     #   fused ~free, benchmarks/exp_micro_opts)
     upsample: str = "matmul"     # decoder x2: "matmul" | "resize"
+    quant: str = "none"          # "none" | "int8" serving convs (same
+    #   param tree — bf16-trained checkpoints serve int8 unconverted)
     # Preprocess may hand this model pre-space-to-depth input directly
     # (train/loop.py wires emit_s2d for the XLA preprocess path).
     S2D_INPUT_FACTOR = 4
@@ -150,17 +167,17 @@ class EncDecDepthNet(nn.Module):
         # Encoder. Stage 0 runs at stride 1 (input already at stride 4).
         widths = [wm(c) for c in self.enc_widths]
         x = stage(widths[0], strides=1, dtype=dt, norm=self.norm,
-                  name="enc0")(x)
+                  quant=self.quant, name="enc0")(x)
         skips = [x]
         for i, c in enumerate(widths[1:], start=1):
             x = stage(c, strides=2, dtype=dt, norm=self.norm,
-                      name=f"enc{i}")(x)
+                      quant=self.quant, name=f"enc{i}")(x)
             skips.append(x)
 
         # Decoder back to stride 4 with additive projected skips.
         for i, c in enumerate(reversed(widths[:-1])):
             skip = skips[len(widths) - 2 - i]
-            x = up(c, dtype=dt, upsample=self.upsample,
+            x = up(c, dtype=dt, upsample=self.upsample, quant=self.quant,
                    name=f"dec{i}")(x, skip)
 
         # Head: f32 3x3 conv to 1 channel at stride 4, then bilinear x2 on

@@ -52,7 +52,8 @@ def _small(cfg: ModelConfig):
 def _encdec(cfg: ModelConfig):
     from ann3depth_tpu.models.encdec import EncDecDepthNet
     return EncDecDepthNet(width_mult=cfg.width_mult, compute_dtype=_dtype(cfg),
-                          remat=cfg.remat)
+                          remat=cfg.remat,
+                          quant=getattr(cfg, "quant", "none"))
 
 
 @register("dpt")

@@ -1,0 +1,79 @@
+"""Int8 inference quantization: dynamic per-tensor activation scales,
+per-output-channel weight scales, int8 x int8 -> int32 convs on the MXU.
+
+The v5e MXU runs int8 matmuls at 2x the bf16 rate (394 vs 197 TOPS), so a
+conv-dominated serving path can in principle double throughput. This
+module provides:
+
+  - `qconv`: quantize (activation, kernel) -> `lax.conv_general_dilated`
+    with int8 operands and `preferred_element_type=int32`, dequantize the
+    accumulator. Symmetric quantization; activation scale is computed
+    per-call (dynamic — no calibration pass needed), weight scales are
+    per-output-channel.
+  - `QConv`: a flax module PARAM-COMPATIBLE with nn.Conv(use_bias=False)
+    (same "kernel" param name/shape/f32 dtype), so a trained bf16/f32
+    checkpoint runs int8 WITHOUT conversion — models/encdec.py selects it
+    via `quant="int8"`.
+
+Accuracy: symmetric per-tensor activation quant costs ~0.4% relative
+error per conv on typical activations; the measured end-to-end log-depth
+divergence is recorded in BASELINE.md (benchmarks/exp_int8_infer.py).
+Training stays bf16 — this is a serving-path option only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def quantize_sym(x, axis=None, bits=8):
+    """Symmetric linear quantization -> (int8 values, f32 scale).
+
+    axis=None: one scale for the whole tensor (activations).
+    axis=tuple: reduce |max| over those dims (e.g. (0,1,2) for HWIO
+    kernels -> per-output-channel scales).
+    """
+    qmax = 2.0 ** (bits - 1) - 1.0
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=axis is not None)
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(x / scale), -qmax, qmax).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def qconv(x, kernel, strides=(1, 1), padding="SAME"):
+    """Int8 conv: f32/bf16 x [B,H,W,Ci], f32 kernel [kh,kw,Ci,Co] -> f32.
+
+    Dynamic per-tensor activation scale + per-output-channel kernel
+    scales; accumulation in int32 on the MXU; dequantized f32 output.
+    """
+    xq, sx = quantize_sym(x.astype(jnp.float32))
+    kq, sk = quantize_sym(kernel.astype(jnp.float32), axis=(0, 1, 2))
+    y = jax.lax.conv_general_dilated(
+        xq, kq, window_strides=tuple(strides), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    # sk keepdims shape [1,1,1,Co] -> broadcast over NHWC output channels.
+    return y.astype(jnp.float32) * sx * sk.reshape(1, 1, 1, -1)
+
+
+class QConv(nn.Module):
+    """Param-compatible int8 replacement for nn.Conv(use_bias=False)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    out_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        return qconv(x, kernel, self.strides, self.padding).astype(
+            self.out_dtype)

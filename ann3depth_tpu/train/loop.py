@@ -85,6 +85,12 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     cfg.train.ckpt_dir and continues the step counter (SURVEY §5).
     """
     workdir = workdir or cfg.train.ckpt_dir
+    if cfg.model.quant != "none":
+        raise ValueError(
+            f"model.quant={cfg.model.quant!r} is a serving-only path "
+            "(round() has zero gradient — training would silently freeze "
+            "the conv weights); train with quant='none' and pass --quant "
+            "int8 to eval/live/infer")
     if mesh is None:
         mesh = meshlib.create_mesh()
     # An explicitly passed dataset overrides the config's dataset list;

@@ -1,0 +1,92 @@
+"""Offline/serving inference throughput: raw uint8 frames -> linear depth.
+
+Measures the full batched serving program (on-device preprocess + forward
++ exp) as a scan-of-K device pipeline, the same tunnel-proof discipline as
+bench_train. Appends a JSONL record; BASELINE.md carries the numbers.
+
+Run: python -m benchmarks.bench_infer [config] [batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+RESULTS = os.path.join(os.path.dirname(__file__), "results.jsonl")
+
+
+def run(cfg, batch=32, steps=60, raw_hw=(480, 640), record=True,
+        model=None, tag=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.pipeline import preprocess
+    from ann3depth_tpu.train import step as steplib
+
+    model = model if model is not None else registry.build(cfg.model)
+    params = steplib.init_params(model, cfg.data.input_hw, seed=0)
+    emit = registry.s2d_input_factor(cfg.model.name)
+    input_hw = tuple(cfg.data.input_hw)
+
+    rng_np = np.random.default_rng(0)
+    pool = jnp.asarray(rng_np.integers(
+        0, 256, (4, batch, *raw_hw, 3), np.uint8))
+
+    def infer(img_u8):
+        images = preprocess.preprocess_image(img_u8, input_hw,
+                                             emit_s2d=emit)
+        pred_log = model.apply({"params": params}, images)
+        return jnp.exp(pred_log[..., 0])
+
+    def one(carry, i):
+        img = jax.lax.dynamic_index_in_dim(pool, i % pool.shape[0], 0,
+                                           keepdims=False)
+        out = infer(img)
+        # fold a scalar through the carry so the scan can't be elided
+        return carry + out[0, 0, 0], carry
+
+    K = 30
+
+    @jax.jit
+    def run_k(c):
+        return jax.lax.scan(one, c, jnp.arange(K))
+
+    c = jnp.zeros((), jnp.float32)
+    for _ in range(2):
+        c, _ = run_k(c)
+    float(jax.device_get(c))
+    reps = max(1, steps // K)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c, _ = run_k(c)
+    float(jax.device_get(c))
+    dt = time.perf_counter() - t0
+    total = reps * K
+
+    result = {
+        "bench": "infer_throughput",
+        "model": tag or cfg.model.name,
+        "batch_size": batch,
+        "input_hw": list(input_hw),
+        "backend": jax.default_backend(),
+        "images_per_sec": round(batch * total / dt, 2),
+        "batch_ms": round(dt / total * 1e3, 3),
+        "time": time.time(),
+    }
+    if record:
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(result) + "\n")
+    return result
+
+
+if __name__ == "__main__":
+    from ann3depth_tpu.config import get_config
+
+    name = sys.argv[1] if len(sys.argv) > 1 else "make3d-encdec"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    print(json.dumps(run(get_config(name), batch=batch)))
