@@ -17,13 +17,15 @@ import sys
 # floor, measured reference (BASELINE.md; r2 scan-of-K measurements —
 # robust to the tunnel's per-dispatch RTT weather, see bench_train.py)
 FLOORS = {
-    "encdec_b16_images_per_sec": (6000.0, 7663.0),
+    "encdec_b16_images_per_sec": (6000.0, 8215.0),
     "dpt384_b8_images_per_sec": (450.0, 584.0),
     "live_device_step_ms_max": (5.0, 1.55),  # upper bound
     # Efficiency floor (VERDICT r1): catches "still fast in img/s but
-    # regressed in MFU" after model-capacity changes. r2 measured 0.307
+    # regressed in MFU" after model-capacity changes. r2b measured 0.330
     # at b16 via XLA cost_analysis (benchmarks/flops.py).
-    "encdec_b16_mfu": (0.20, 0.307),
+    "encdec_b16_mfu": (0.20, 0.330),
+    # Serving path (bench_infer, r2b: 16.7k bf16 / 18.6k int8 at b32).
+    "encdec_b32_infer_images_per_sec": (13000.0, 16664.0),
 }
 
 
@@ -48,6 +50,10 @@ def main() -> int:
 
     r = bench_train.run(get_config("dpt-384"), steps=30, record=False)
     results["dpt384_b8_images_per_sec"] = r["images_per_sec"]
+
+    from benchmarks import bench_infer
+    r = bench_infer.run(get_config("make3d-encdec"), batch=32, record=False)
+    results["encdec_b32_infer_images_per_sec"] = r["images_per_sec"]
 
     cfg = get_config("live")
     state = looplib.create_state(cfg)
