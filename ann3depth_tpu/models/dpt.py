@@ -73,6 +73,7 @@ class FusionBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.bfloat16
     upsample: str = "resize"  # "matmul" | "resize" (identical math)
+    upsample_out: bool = True  # False: merge+refine only, stay at in-res
 
     @nn.compact
     def __call__(self, x, skip=None):
@@ -86,6 +87,8 @@ class FusionBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
                     use_bias=False)(y)
         x = x + y
+        if not self.upsample_out:
+            return x
         return _up(x, 2, self.dtype, impl=self.upsample)
 
 
@@ -102,6 +105,14 @@ class DPTDepthNet(nn.Module):
     remat: bool = True
     upsample: str = "resize"  # fusion-head x2/x4: "matmul" | "resize"
     attention_impl: str = "flax"  # inner SDPA: "flax" | "jnn"
+    # Coarsest feature resolution the head runs at before the 1-channel
+    # bilinear to full res. 2 (default): finest fusion stage emits 192²
+    # maps. 4: the head stays at 96² (all 4 taps still consumed; fuse1
+    # merges without its output upsample) — the fusion head is
+    # HBM-bandwidth-bound at 192² (benchmarks/exp_dpt_profile.py), so
+    # this trades finest-stage capacity for ~bytes/4 at the top stage.
+    # Quality impact unpriceable without real-data eval; NOT default.
+    head_stride: int = 2
 
     OUTPUT_STRIDE = 1  # full-resolution depth out
 
@@ -151,20 +162,27 @@ class DPTDepthNet(nn.Module):
         # coarsest refinement consumes the deepest remaining tap.
         fuse = nn.remat(FusionBlock) if self.remat else FusionBlock
         ups = self.upsample
+        assert self.head_stride in (2, 4), self.head_stride
+        coarse = self.head_stride == 4
         y = skips[-1]
         y = fuse(self.fusion_features, dtype=dt, upsample=ups,
                  name="fuse3")(y, skips[-2])                            # 2x
         y = fuse(self.fusion_features, dtype=dt, upsample=ups,
                  name="fuse2")(y, _up(skips[-3], 2, dt, impl=ups))      # 4x
+        # Finest stage always merges the last tap at 96² (skip x4); at
+        # head_stride 2 it then upsamples to 192², at 4 it stays at 96²
+        # (bandwidth lever, see head_stride docstring).
         y = fuse(self.fusion_features, dtype=dt, upsample=ups,
-                 name="fuse1")(y, _up(skips[-4], 4, dt, impl=ups))      # 8x = stride 2
+                 upsample_out=not coarse, name="fuse1")(
+                     y, _up(skips[-4], 4, dt, impl=ups))
 
         y = nn.Conv(64, (3, 3), padding="SAME", dtype=dt, name="head1")(y)
         y = nn.relu(y)
         y = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
                     name="head2")(y.astype(jnp.float32))
         b2, hh, ww, _ = y.shape
-        return jax.image.resize(y, (b2, hh * 2, ww * 2, 1), method="bilinear")
+        f = self.head_stride
+        return jax.image.resize(y, (b2, hh * f, ww * f, 1), method="bilinear")
 
     @staticmethod
     def output_hw(input_hw):

@@ -29,6 +29,20 @@ def test_dpt_output_full_resolution(tiny_dpt):
     assert DPTDepthNet.output_hw((384, 384)) == (384, 384)
 
 
+def test_dpt_head_stride4_full_resolution_out():
+    """head_stride=4 keeps the head at gh*4 but still emits full-res
+    depth (the bandwidth lever of benchmarks/exp_dpt_head_stride.py)."""
+    model = DPTDepthNet(dim=64, depth=5, heads=2, fusion_features=32,
+                        tap_layers=(1, 2, 3, 4), compute_dtype=jnp.float32,
+                        remat=False, head_stride=4)
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (2, 64, 64, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2, 64, 64, 1)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
 def test_dpt_gradients_flow(tiny_dpt):
     model, params = tiny_dpt
     x = jnp.ones((1, 64, 64, 3))
