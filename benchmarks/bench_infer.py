@@ -14,8 +14,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 RESULTS = os.path.join(os.path.dirname(__file__), "results.jsonl")
 
 
@@ -33,9 +31,11 @@ def run(cfg, batch=32, steps=60, raw_hw=(480, 640), record=True,
     emit = registry.s2d_input_factor(cfg.model.name)
     input_hw = tuple(cfg.data.input_hw)
 
-    rng_np = np.random.default_rng(0)
-    pool = jnp.asarray(rng_np.integers(
-        0, 256, (4, batch, *raw_hw, 3), np.uint8))
+    # Pool generated ON DEVICE: a host pool at b128 is ~472 MB of H2D,
+    # which through this environment's tunnel dwarfs the benchmark itself.
+    pool = jax.jit(lambda k: jax.random.randint(
+        k, (4, batch, *raw_hw, 3), 0, 256, jnp.int32).astype(jnp.uint8))(
+        jax.random.key(0))
 
     def infer(img_u8):
         images = preprocess.preprocess_image(img_u8, input_hw,
@@ -43,27 +43,30 @@ def run(cfg, batch=32, steps=60, raw_hw=(480, 640), record=True,
         pred_log = model.apply({"params": params}, images)
         return jnp.exp(pred_log[..., 0])
 
-    def one(carry, i):
-        img = jax.lax.dynamic_index_in_dim(pool, i % pool.shape[0], 0,
-                                           keepdims=False)
-        out = infer(img)
-        # fold a scalar through the carry so the scan can't be elided
-        return carry + out[0, 0, 0], carry
-
     K = 30
 
+    # pool is a formal ARGUMENT, not a closure capture: a closed-over
+    # concrete array is embedded in the HLO as a constant — at b128
+    # that's a 472 MB compile request the tunnel rejects (HTTP 413).
     @jax.jit
-    def run_k(c):
+    def run_k(c, pool):
+        def one(carry, i):
+            img = jax.lax.dynamic_index_in_dim(pool, i % pool.shape[0], 0,
+                                               keepdims=False)
+            out = infer(img)
+            # fold a scalar through the carry so the scan can't be elided
+            return carry + out[0, 0, 0], carry
+
         return jax.lax.scan(one, c, jnp.arange(K))
 
     c = jnp.zeros((), jnp.float32)
     for _ in range(2):
-        c, _ = run_k(c)
+        c, _ = run_k(c, pool)
     float(jax.device_get(c))
     reps = max(1, steps // K)
     t0 = time.perf_counter()
     for _ in range(reps):
-        c, _ = run_k(c)
+        c, _ = run_k(c, pool)
     float(jax.device_get(c))
     dt = time.perf_counter() - t0
     total = reps * K
