@@ -120,6 +120,9 @@ def build_parser():
 
     pb = sub.add_parser("bench", help="run the benchmark suite")
     _common_flags(pb)
+    pb.add_argument("--serving", action="store_true",
+                    help="measure inference throughput (bench_infer) "
+                         "instead of training")
     return p
 
 
@@ -239,9 +242,14 @@ def main(argv=None):
         return 0
 
     if args.mode == "bench":
-        from benchmarks import bench_train
         cfg = _resolve(args)
-        print(json.dumps(bench_train.run(cfg)))
+        if args.serving:
+            from benchmarks import bench_infer
+            print(json.dumps(bench_infer.run(
+                cfg, batch=args.batch_size or 32)))
+        else:
+            from benchmarks import bench_train
+            print(json.dumps(bench_train.run(cfg)))
         return 0
 
     raise AssertionError(args.mode)
