@@ -1,0 +1,59 @@
+"""CLI parse + preset-override resolution (cli.build_parser/_resolve) —
+pure parsing, no jax/device work."""
+
+import pytest
+
+from ann3depth_tpu import cli
+
+
+def _resolve(argv):
+    return cli._resolve(cli.build_parser().parse_args(argv))
+
+
+def test_train_overrides_resolve_onto_preset():
+    cfg = _resolve(["train", "--config", "make3d-encdec", "--steps", "7",
+                    "--batch-size", "3", "--datasets", "synthetic", "nyu",
+                    "--ckpt-dir", "/tmp/x", "--augment", "--resume"])
+    assert cfg.train.steps == 7 and cfg.train.batch_size == 3
+    assert cfg.data.datasets == ("synthetic", "nyu")
+    assert cfg.train.ckpt_dir == "/tmp/x"
+    assert cfg.data.augment and cfg.train.resume
+    # untouched preset fields survive
+    assert cfg.model.name == "encdec"
+
+
+def test_quant_flag_resolves_to_model_config():
+    cfg = _resolve(["eval", "--config", "make3d-encdec", "--quant", "int8"])
+    assert cfg.model.quant == "int8"
+    # default is none
+    assert _resolve(["eval", "--config", "make3d-encdec"]).model.quant == "none"
+
+
+def test_model_override_and_preprocess_impl():
+    cfg = _resolve(["train", "--config", "smoke", "--model", "encdec",
+                    "--preprocess-impl", "pallas"])
+    assert cfg.model.name == "encdec"
+    assert cfg.data.preprocess_impl == "pallas"
+
+
+def test_num_workers_implies_grain():
+    cfg = _resolve(["train", "--config", "smoke", "--num-workers", "2"])
+    assert cfg.data.use_grain and cfg.data.num_workers == 2
+
+
+def test_bench_serving_flag_parses():
+    args = cli.build_parser().parse_args(["bench", "--serving",
+                                          "--batch-size", "64"])
+    assert args.serving and args.batch_size == 64
+
+
+def test_unknown_preset_and_bad_quant_rejected():
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(["train", "--config", "bogus"])
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(["train", "--quant", "int4"])
+
+
+def test_infer_requires_image():
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(["infer"])
