@@ -8,7 +8,7 @@ CONFIG ?= make3d-encdec
 STEPS ?= 5000
 
 .PHONY: test test-fast download-make3d download-nyu train eval live bench \
-        native clean
+        bench-serving native clean perf-check
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -35,6 +35,9 @@ live:
 
 bench:
 	$(PY) bench.py
+
+bench-serving:
+	$(PY) -m ann3depth_tpu bench --serving --config $(CONFIG)
 
 # build the native ring buffer ahead of time (also built lazily on import)
 native:
