@@ -91,31 +91,34 @@ def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
     dt_dispatched = time.perf_counter() - t0
 
     # --- scan-of-K program (primary: device pipeline throughput) ---
+    # Pools enter as jit ARGUMENTS: a closure-captured concrete array is
+    # embedded in the HLO as a constant, bloating the (tunnel-shipped)
+    # compile request — see bench_infer.py, which hit the tunnel's 413
+    # limit at b128 before the same fix.
     n_pool = pool_img.shape[0]
-
-    def one(st, i):
-        im = jax.lax.dynamic_index_in_dim(pool_img, i % n_pool, 0,
-                                          keepdims=False)
-        de = jax.lax.dynamic_index_in_dim(pool_dep, i % n_pool, 0,
-                                          keepdims=False)
-        st, m = steplib.train_step.__wrapped__(st, im, de, rng, **kw)
-        return st, m["loss"]
-
     K = max(20, min(steps, 50))
 
     @jax.jit
-    def run_k(st):
+    def run_k(st, pool_img, pool_dep):
+        def one(st, i):
+            im = jax.lax.dynamic_index_in_dim(pool_img, i % n_pool, 0,
+                                              keepdims=False)
+            de = jax.lax.dynamic_index_in_dim(pool_dep, i % n_pool, 0,
+                                              keepdims=False)
+            st, m = steplib.train_step.__wrapped__(st, im, de, rng, **kw)
+            return st, m["loss"]
+
         return jax.lax.scan(one, st, jnp.arange(K))
 
     state2 = looplib.create_state(cfg, mesh)
     for _ in range(2):
-        out = run_k(state2)
+        out = run_k(state2, pool_img, pool_dep)
         state2 = out[0]
     float(jax.device_get(out[1][-1]))
     reps = max(1, steps // K)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = run_k(state2)
+        out = run_k(state2, pool_img, pool_dep)
         state2 = out[0]
     loss_scan = float(jax.device_get(out[1][-1]))
     dt_scan = time.perf_counter() - t0
