@@ -59,6 +59,13 @@ def run(cfg, batch=32, steps=60, raw_hw=(480, 640), record=True,
 
         return jax.lax.scan(one, c, jnp.arange(K))
 
+    # FLOPs of ONE inference batch for serving MFU (flops.py). Lower a
+    # single-batch program — XLA's cost_analysis counts a scan body once
+    # regardless of trip count, so analyzing run_k would undercount by K.
+    from benchmarks import flops as flopslib
+
+    batch_fl = flopslib.step_flops(jax.jit(infer), pool[0])
+
     c = jnp.zeros((), jnp.float32)
     for _ in range(2):
         c, _ = run_k(c, pool)
@@ -81,6 +88,7 @@ def run(cfg, batch=32, steps=60, raw_hw=(480, 640), record=True,
         "batch_ms": round(dt / total * 1e3, 3),
         "time": time.time(),
     }
+    flopslib.attach_mfu(result, batch_fl, total, dt)
     if record:
         with open(RESULTS, "a") as f:
             f.write(json.dumps(result) + "\n")
