@@ -15,7 +15,7 @@ _CHILD = """
 import sys
 from ann3depth_tpu.cli import main
 sys.exit(main([
-    "train", "--config", "smoke", "--steps", "200", "--batch-size", "2",
+    "train", "--config", "smoke", "--steps", "600", "--batch-size", "2",
     "--ckpt-dir", sys.argv[1], "--workdir", sys.argv[2],
 ]))
 """
@@ -32,7 +32,10 @@ def test_kill_midrun_then_resume(tmp_path):
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
     # wait until at least one checkpoint exists (smoke saves every 5 steps),
-    # then kill hard mid-run.
+    # then kill hard mid-run. Steps=600 + a 0.1 s poll keep the kill well
+    # inside the run: with 200 steps and a 1 s poll, a freshly-compiled
+    # child could race through all its steps between polls and exit first
+    # (observed once as a suite flake, 2026-08-17).
     deadline = time.time() + 600
     ckpt_seen = False
     while time.time() < deadline:
@@ -42,7 +45,7 @@ def test_kill_midrun_then_resume(tmp_path):
                 d.isdigit() for d in os.listdir(ckpt_dir)):
             ckpt_seen = True
             break
-        time.sleep(1.0)
+        time.sleep(0.1)
     assert ckpt_seen, "no checkpoint appeared within deadline"
     child.send_signal(signal.SIGKILL)
     child.wait(timeout=30)
@@ -57,11 +60,11 @@ def test_kill_midrun_then_resume(tmp_path):
     cfg = get_config("smoke")
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
-            cfg.train, steps=200, batch_size=2, resume=True,
-            ckpt_dir=ckpt_dir, checkpoint_every=50, log_every=50))
+            cfg.train, steps=600, batch_size=2, resume=True,
+            ckpt_dir=ckpt_dir, checkpoint_every=100, log_every=100))
     state, metrics = looplib.train(cfg, workdir=workdir, progress=False)
-    assert int(state.step) == 200
+    assert int(state.step) == 600
 
     mgr = CheckpointManager(ckpt_dir)
-    assert mgr.latest_step() == 200
+    assert mgr.latest_step() == 600
     mgr.close()
