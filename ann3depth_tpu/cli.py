@@ -51,8 +51,8 @@ def _resolve(args) -> cfglib.Config:
     if args.datasets: data["datasets"] = tuple(args.datasets)
     if args.data_dir: data["data_dir"] = args.data_dir
     if args.ckpt_dir: train["ckpt_dir"] = args.ckpt_dir
-    if args.batch_size: train["batch_size"] = args.batch_size
-    if args.steps: train["steps"] = args.steps
+    if args.batch_size is not None: train["batch_size"] = args.batch_size
+    if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate: train["learning_rate"] = args.learning_rate
     if args.seed is not None: train["seed"] = args.seed
     if getattr(args, "preprocess_impl", None): data["preprocess_impl"] = args.preprocess_impl
@@ -131,15 +131,19 @@ def _default_compile_cache():
 
     First compiles of the fused train step cost 35-140 s on TPU; the
     cache cuts warm startups to seconds. jax reads the config lazily, so
-    setting it here (after any site-level jax import) still works.
+    setting it here (after any site-level jax import) still works. Runs
+    only after argparse succeeds (ADVICE r2: --help must not pay the jax
+    import) and defers to a cache dir already set via env OR jax flags.
     """
     import os
 
-    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "ann3depth_tpu", "xla")
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
+        if jax.config.jax_compilation_cache_dir:  # set via flags/env/code
+            return
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "ann3depth_tpu", "xla")
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # cache is an optimization; never block the CLI
@@ -151,8 +155,8 @@ def main(argv=None):
                         format="%(asctime)s %(name)s %(message)s")
     # orbax/absl emit a noisy INFO line per checkpoint op; keep WARNING+
     logging.getLogger("absl").setLevel(logging.WARNING)
-    _default_compile_cache()
     args = build_parser().parse_args(argv)
+    _default_compile_cache()
 
     if args.mode == "train":
         from ann3depth_tpu.train import loop
@@ -243,6 +247,13 @@ def main(argv=None):
 
     if args.mode == "bench":
         cfg = _resolve(args)
+        if cfg.model.quant != "none" and not args.serving:
+            # int8 convs round() has zero gradient — a "training" bench of
+            # the quantized model would be meaningless (ADVICE r2); the
+            # same guard loop.train applies for real training.
+            raise SystemExit(
+                "--quant int8 is serving-only; pass --serving for the "
+                "inference bench or drop --quant for the training bench")
         if args.serving:
             from benchmarks import bench_infer
             print(json.dumps(bench_infer.run(

@@ -35,6 +35,12 @@ def build(cfg: ModelConfig):
         ctor = _REGISTRY[cfg.name]
     except KeyError:
         raise KeyError(f"unknown model {cfg.name!r}; have {available()}")
+    if getattr(cfg, "quant", "none") != "none" and cfg.name != "encdec":
+        # Only encdec has a quantized serving twin (ops/quant.py); failing
+        # loudly beats benchmarking bf16 under an int8 label (ADVICE r2).
+        raise ValueError(
+            f"quant={cfg.quant!r} is only supported by 'encdec', "
+            f"not {cfg.name!r}")
     return ctor(cfg)
 
 

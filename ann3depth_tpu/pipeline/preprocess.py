@@ -50,19 +50,28 @@ def resize_bilinear(x, hw):
     return jax.image.resize(x, shape, method="bilinear")
 
 
-def preprocess_image(img_u8, input_hw, use_pallas=False, emit_s2d=0):
+def preprocess_image(img_u8, input_hw, use_pallas=False, emit_s2d=0,
+                     precision=None):
     """uint8 [B, H, W, 3] -> normalized f32 [B, h, w, 3] (no augment).
 
     emit_s2d: nonzero (XLA path) -> pre-space-to-depth bf16 layout
-    [B, h/f, w/f, f*f*3] for stems that consume it directly (encdec)."""
+    [B, h/f, w/f, f*f*3] for stems that consume it directly (encdec).
+
+    precision: matmul precision for the XLA resize. None -> HIGHEST on
+    both branches (eval/live parity — the s2d branch must not silently
+    diverge from the rgb branch, ADVICE r2); serving benches may pass
+    DEFAULT explicitly since the model computes in bf16 anyway."""
     b, h, w, _ = img_u8.shape
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
     params = pp.identity_params(b, (h, w), input_hw)
     if emit_s2d and not use_pallas:
         return pp.oracle_preprocess_s2d(img_u8, params,
                                         out_hw=tuple(input_hw),
-                                        factor=emit_s2d)
-    fn = pp.fused_preprocess if use_pallas else pp.oracle_preprocess
-    return fn(img_u8, params, out_hw=tuple(input_hw))
+                                        factor=emit_s2d, precision=prec)
+    if use_pallas:
+        return pp.fused_preprocess(img_u8, params, out_hw=tuple(input_hw))
+    return pp.oracle_preprocess(img_u8, params, out_hw=tuple(input_hw),
+                                precision=prec)
 
 
 def preprocess_depth(depth, target_hw, use_pallas=False):

@@ -92,7 +92,27 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             "the conv weights); train with quant='none' and pass --quant "
             "int8 to eval/live/infer")
     if mesh is None:
-        mesh = meshlib.create_mesh()
+        # Auto mesh: widest DP that divides the global batch. A batch
+        # smaller than the host's device count (smoke runs, tiny debug
+        # configs) trains on a device subset rather than erroring — the
+        # reference was single-device, so its small-batch configs must
+        # keep working on any host.
+        devices = jax.devices()
+        n_data = len(devices)
+        while cfg.train.batch_size % n_data:
+            n_data -= 1
+        if n_data < len(devices):
+            log.warning(
+                "batch_size=%d not divisible by %d devices; training on "
+                "%d device(s)", cfg.train.batch_size, len(devices), n_data)
+        mesh = meshlib.create_mesh(devices[:n_data])
+    else:
+        n_data = mesh.shape.get("data", 1)
+        if cfg.train.batch_size % n_data:
+            raise ValueError(
+                f"global batch_size={cfg.train.batch_size} is not divisible "
+                f"by the mesh's {n_data}-way data axis; raise the batch "
+                "size or pass a smaller mesh")
     # An explicitly passed dataset overrides the config's dataset list;
     # otherwise every configured dataset trains (batch-interleaved).
     extra_datasets = []
@@ -150,6 +170,14 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                        # for models that accept it (+~5% step time, encdec).
                        emit_s2d=0 if _use_pallas(cfg)
                        else registry.s2d_input_factor(cfg.model.name))
+    # XLA:CPU's in-process collective rendezvous can starve when many
+    # async-dispatched steps are in flight on a host with few cores (each
+    # waiting participant blocks a pool thread; rendezvous.cc aborts after
+    # its 40 s termination timeout — reproduced at 50+ in-flight steps on
+    # this 1-core machine). Lockstep dispatch on the CPU backend only; the
+    # TPU path keeps the fully async pipeline.
+    cpu_lockstep = jax.default_backend() == "cpu" and mesh.devices.size > 1
+
     metrics = {}
     t0 = time.perf_counter()
     imgs_since = 0
@@ -158,6 +186,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             step_no = start_step + i
             state, metrics = steplib.train_step(
                 state, img_u8, depth, rng, **step_kwargs)
+            if cpu_lockstep:
+                jax.block_until_ready(metrics["loss"])
             imgs_since += int(img_u8.shape[0])
 
             if (step_no + 1) % cfg.train.log_every == 0 or i == n_steps - 1:
@@ -183,8 +213,13 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             if cfg.train.eval_every and (step_no + 1) % cfg.train.eval_every == 0:
                 if eval_ds is None:
                     eval_ds = build_dataset(cfg, "test")
+                # In-loop eval is a SAMPLE (4 batches), not the full split;
+                # eval_batches in the record keeps it distinguishable from
+                # the CLI's full-split numbers in convergence studies.
                 em = evaluate(cfg, state=state, dataset=eval_ds, max_batches=4)
-                writer.write(step_no + 1, {f"eval_{k}": v for k, v in em.items()})
+                writer.write(step_no + 1,
+                             {**{f"eval_{k}": v for k, v in em.items()},
+                              "eval_batches": 4})
                 if tb is not None:
                     tb.write_scalars(step_no + 1,
                                      {f"eval/{k}": v for k, v in em.items()})
@@ -255,6 +290,9 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
             state, img_u8, depth,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
             si_lambda=cfg.train.si_lambda, use_pallas=_use_pallas(cfg))
+        if jax.default_backend() == "cpu":
+            # same CPU rendezvous-starvation guard as the train loop
+            jax.block_until_ready(stats)
         for k, v in stats.items():
             totals[k] = totals[k] + v if k in totals else v
         if max_batches is not None and b + 1 >= max_batches:

@@ -38,8 +38,12 @@ def run(cfg, batch=32, steps=60, raw_hw=(480, 640), record=True,
         jax.random.key(0))
 
     def infer(img_u8):
-        images = preprocess.preprocess_image(img_u8, input_hw,
-                                             emit_s2d=emit)
+        # DEFAULT resize precision is the serving production choice (the
+        # model computes in bf16 anyway); preprocess_image itself defaults
+        # to HIGHEST for eval/live parity (ADVICE r2).
+        images = preprocess.preprocess_image(
+            img_u8, input_hw, emit_s2d=emit,
+            precision=jax.lax.Precision.DEFAULT)
         pred_log = model.apply({"params": params}, images)
         return jnp.exp(pred_log[..., 0])
 
@@ -88,7 +92,9 @@ def run(cfg, batch=32, steps=60, raw_hw=(480, 640), record=True,
         "batch_ms": round(dt / total * 1e3, 3),
         "time": time.time(),
     }
-    flopslib.attach_mfu(result, batch_fl, total, dt)
+    quant = getattr(model, "quant", getattr(cfg.model, "quant", "none"))
+    flopslib.attach_mfu(result, batch_fl, total, dt,
+                        dtype="int8" if quant == "int8" else "bf16")
     if record:
         with open(RESULTS, "a") as f:
             f.write(json.dumps(result) + "\n")

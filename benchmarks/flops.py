@@ -27,13 +27,26 @@ PEAK_BF16_FLOPS = (
     ("v4", 275e12),
 )
 
+# Published int8 peak OP/s (2x bf16 on v5e/v5p/v6e; v4 has no int8 rate —
+# omitted so int8 MFU on it is dropped rather than fabricated). Denominator
+# for quant='int8' benchmarks (ADVICE r2: bf16 peak overstated int8 MFU ~2x).
+PEAK_INT8_OPS = (
+    ("v5 lite", 394e12),
+    ("v5e", 394e12),
+    ("v5p", 918e12),
+    ("v6 lite", 1836e12),
+    ("v6e", 1836e12),
+    ("trillium", 1836e12),
+)
 
-def device_peak_flops(device=None) -> Optional[float]:
+
+def device_peak_flops(device=None, dtype: str = "bf16") -> Optional[float]:
     import jax
 
     d = device if device is not None else jax.devices()[0]
     kind = d.device_kind.lower()
-    for key, peak in PEAK_BF16_FLOPS:
+    table = PEAK_INT8_OPS if dtype == "int8" else PEAK_BF16_FLOPS
+    for key, peak in table:
         if key in kind:
             return peak
     return None
@@ -53,15 +66,20 @@ def step_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
 
 
 def attach_mfu(result: dict, flops: Optional[float], steps: int,
-               dt_seconds: float) -> dict:
+               dt_seconds: float, dtype: str = "bf16") -> dict:
     """Extend a benchmark result dict with model_tflops / achieved_tflops /
-    mfu when FLOPs (and the device peak) are known."""
+    mfu when FLOPs (and the device peak) are known.
+
+    dtype selects the peak denominator: "bf16" (default) or "int8" for
+    quantized serving runs (v5e does 394 TOPS int8 vs 197 TFLOP/s bf16)."""
     if not flops or dt_seconds <= 0:
         return result
     achieved = flops * steps / dt_seconds
     result["model_tflops_per_step"] = round(flops / 1e12, 4)
     result["achieved_tflops"] = round(achieved / 1e12, 2)
-    peak = device_peak_flops()
+    peak = device_peak_flops(dtype=dtype)
     if peak:
         result["mfu"] = round(achieved / peak, 4)
+        if dtype != "bf16":
+            result["mfu_peak_dtype"] = dtype
     return result

@@ -15,7 +15,7 @@ _CHILD = """
 import sys
 from ann3depth_tpu.cli import main
 sys.exit(main([
-    "train", "--config", "smoke", "--steps", "600", "--batch-size", "2",
+    "train", "--config", "smoke", "--steps", "200", "--batch-size", "8",
     "--ckpt-dir", sys.argv[1], "--workdir", sys.argv[2],
 ]))
 """
@@ -24,23 +24,24 @@ sys.exit(main([
 @pytest.mark.slow
 def test_kill_midrun_then_resume(tmp_path):
     ckpt_dir, workdir = str(tmp_path / "ckpt"), str(tmp_path / "wd")
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache")
+    from conftest import cpu_child_env
+    env = cpu_child_env()
     child = subprocess.Popen(
         [sys.executable, "-c", _CHILD, ckpt_dir, workdir],
         env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
     # wait until at least one checkpoint exists (smoke saves every 5 steps),
-    # then kill hard mid-run. Steps=600 + a 0.1 s poll keep the kill well
-    # inside the run: with 200 steps and a 1 s poll, a freshly-compiled
-    # child could race through all its steps between polls and exit first
-    # (observed once as a suite flake, 2026-08-17).
+    # then kill hard mid-run. The 0.1 s poll vs the child's CPU-lockstep
+    # ~0.4 s/step (train/loop.py cpu_lockstep) keeps the kill well inside
+    # the run; 200 steps bounds the resume leg's wall clock.
     deadline = time.time() + 600
     ckpt_seen = False
     while time.time() < deadline:
         if child.poll() is not None:
-            pytest.fail("child finished before kill — raise steps")
+            pytest.fail(
+                f"child exited rc={child.returncode} before kill — "
+                "crash (check by running _CHILD manually) or raise steps")
         if os.path.isdir(ckpt_dir) and any(
                 d.isdigit() for d in os.listdir(ckpt_dir)):
             ckpt_seen = True
@@ -60,11 +61,11 @@ def test_kill_midrun_then_resume(tmp_path):
     cfg = get_config("smoke")
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
-            cfg.train, steps=600, batch_size=2, resume=True,
+            cfg.train, steps=200, batch_size=8, resume=True,
             ckpt_dir=ckpt_dir, checkpoint_every=100, log_every=100))
     state, metrics = looplib.train(cfg, workdir=workdir, progress=False)
-    assert int(state.step) == 600
+    assert int(state.step) == 200
 
     mgr = CheckpointManager(ckpt_dir)
-    assert mgr.latest_step() == 600
+    assert mgr.latest_step() == 200
     mgr.close()

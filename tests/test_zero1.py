@@ -65,7 +65,7 @@ def test_zero1_matches_replicated_dp(cpu_mesh):
     for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
                     jax.tree.leaves(jax.device_get(p))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-4, atol=3e-4)
+                                   rtol=5e-4, atol=1e-3)
     assert int(step_no) == 3
 
 
