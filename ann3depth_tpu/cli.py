@@ -39,6 +39,10 @@ def _common_flags(p):
                         "decode; see DataConfig.use_grain)")
     p.add_argument("--num-workers", type=int,
                    help="grain worker processes (implies --use-grain)")
+    p.add_argument("--cache-device", action="store_true",
+                   help="stage the whole dataset into device HBM once and "
+                        "gather batches on device (uniform-shape datasets "
+                        "within the HBM budget; see DataConfig)")
     p.add_argument("--quant", choices=["none", "int8"],
                    help="serving-only int8 MXU convs (encdec; eval/live/"
                         "infer — rejected for train)")
@@ -58,6 +62,7 @@ def _resolve(args) -> cfglib.Config:
     if getattr(args, "preprocess_impl", None): data["preprocess_impl"] = args.preprocess_impl
     if getattr(args, "quant", None): model["quant"] = args.quant
     if getattr(args, "use_grain", False): data["use_grain"] = True
+    if getattr(args, "cache_device", False): data["cache_device"] = True
     if getattr(args, "num_workers", None):
         data["use_grain"] = True
         data["num_workers"] = args.num_workers

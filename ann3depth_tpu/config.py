@@ -33,6 +33,12 @@ class DataConfig:
     # host the built-in epoch iterator is just as fast, so grain is opt-in.
     use_grain: bool = False
     num_workers: int = 0           # grain worker processes (0 = in-process)
+    # Stage the whole raw dataset into device HBM once and gather batches
+    # on device (pipeline/device_cache.py): zero steady-state H2D traffic.
+    # For uniform-shape datasets that fit the HBM budget (Make3D raw is
+    # ~4 GB; v5e has 16 GB). Multi-device meshes shard the pool and
+    # shuffle shard-locally.
+    cache_device: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,9 +48,10 @@ class ModelConfig:
     width_mult: float = 1.0
     remat: bool = False            # jax.checkpoint stage blocks (HBM vs FLOPs)
     # Serving-only: int8 MXU convs (encdec), dynamic activation scales,
-    # param tree unchanged — measured +12% serving throughput at ~1% mean
-    # depth divergence (benchmarks/exp_int8_infer.py). Rejected for
-    # training (round() kills gradients); loop.train asserts "none".
+    # param tree unchanged — +12-14% serving throughput, priced on TRAINED
+    # weights at +0.68% eval RMSE (r3 convergence study,
+    # benchmarks/exp_convergence.py). Rejected for training (round()
+    # kills gradients); loop.train asserts "none".
     quant: str = "none"            # "none" | "int8"
 
 

@@ -111,7 +111,9 @@ class DPTDepthNet(nn.Module):
     # merges without its output upsample) — the fusion head is
     # HBM-bandwidth-bound at 192² (benchmarks/exp_dpt_profile.py), so
     # this trades finest-stage capacity for ~bytes/4 at the top stage.
-    # Quality impact unpriceable without real-data eval; NOT default.
+    # PRICED (r3 convergence study, benchmarks/exp_convergence.py): on
+    # trained weights stride 4 costs +46.9% eval RMSE for +14% train /
+    # +27.6% serve throughput — quality-expensive, stays non-default.
     head_stride: int = 2
 
     OUTPUT_STRIDE = 1  # full-resolution depth out

@@ -228,6 +228,125 @@ def fused_preprocess(frames, params, *, out_hw, norm=True, depth_mode=False,
 
 
 # ---------------------------------------------------------------------------
+# v2: weight matrices precomputed in XLA, DMA'd in — the kernel is two pure
+# MXU matmuls + VPU affine (docs/design.md §2 "next lever if revisited").
+# ---------------------------------------------------------------------------
+
+def _preprocess_kernel_v2(p_ref, x_ref, ay_ref, t_ref, o_ref, *, channels,
+                          norm, depth_mode):
+    """Same math as _preprocess_kernel, but Ay/T arrive as operands.
+
+    Trades the in-kernel VPU weight construction (1.84 M iota/compare
+    elements per frame for the interleaved kron matrix) for an HBM DMA of
+    the precomputed matrices (~4 µs/frame at v5e HBM bandwidth vs ~12 µs
+    of VPU work) — the diagnosis in docs/design.md §2."""
+    c = channels
+    i = pl.program_id(0)
+    out_scale = p_ref[i, 4]
+    brightness, contrast, photo = p_ref[i, 5], p_ref[i, 6], p_ref[i, 7]
+
+    ay = ay_ref[0]                      # [h_out, h_in] f32
+    t = t_ref[0]                        # [w_in*c, w_out*c] bf16
+    x = x_ref[0]
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.int32)
+    x = x.astype(jnp.float32)
+    if depth_mode:
+        v = ((x > ref.DEPTH_EPS) & (x <= ref.MAKE3D_DEPTH_CAP)).astype(
+            jnp.float32)
+        x = x * v
+    r = jnp.dot(ay, x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    z = jnp.dot(r.astype(jnp.bfloat16), t,
+                preferred_element_type=jnp.float32)
+
+    if depth_mode:
+        rv = jnp.dot(ay, v, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        zv = jnp.dot(rv.astype(jnp.bfloat16), t,
+                     preferred_element_type=jnp.float32)
+        d = z / jnp.maximum(zv, 1e-6)
+        o_ref[0] = jnp.where(zv >= ref.DEPTH_VALID_RESAMPLE_THRESH,
+                             d * out_scale, 0.0)
+        return
+
+    h_out, wc = z.shape
+    if norm:
+        col_ch = jax.lax.broadcasted_iota(jnp.int32, (h_out, wc), 1) % c
+        s = [1.0 / (255.0 * sd) for sd in ref.RGB_STD]
+        b = [-m / sd for m, sd in zip(ref.RGB_MEAN, ref.RGB_STD)]
+        scale = jnp.where(col_ch == 0, s[0],
+                          jnp.where(col_ch == 1, s[1], s[2]))
+        bias = jnp.where(col_ch == 0, b[0],
+                         jnp.where(col_ch == 1, b[1], b[2]))
+        n = z * scale + bias
+    else:
+        n = z / 255.0
+    m = jnp.mean(n)
+    jittered = (n - m) * contrast + m + brightness
+    o_ref[0] = jnp.where(photo > 0.5, jittered, n)
+
+
+def _vmem_bytes_v2(in_hw, out_hw, c):
+    h_in, w_in = in_hw
+    h_out, w_out = out_hw
+    return int(
+        2 * h_in * w_in * c            # u8 input block (double-buffered)
+        + h_in * w_in * c * 4          # f32 X
+        + 2 * h_out * h_in * 4         # Ay operand (double-buffered)
+        + 2 * w_in * w_out * c * c * 2  # T bf16 operand (double-buffered)
+        + h_out * w_in * c * 4         # R f32 (+bf16 copy /2)
+        + h_out * w_in * c * 2
+        + 2 * h_out * w_out * c * 4    # out (double-buffered)
+        + (1 << 20))
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "norm", "depth_mode",
+                                             "interpret"))
+def fused_preprocess_v2(frames, params, *, out_hw, norm=True,
+                        depth_mode=False, interpret=False):
+    """fused_preprocess with XLA-precomputed per-example weight matrices.
+
+    Identical semantics/signature; see _preprocess_kernel_v2."""
+    b, h_in, w_in, c = frames.shape
+    h_out, w_out = out_hw
+    g = geometry_of(params)
+    ay = jax.vmap(
+        lambda s, sc: triangle_matrix(h_out, h_in, s, sc))(
+        g["y_start"], g["y_scale"])
+    t = jax.vmap(
+        lambda s, sc: triangle_matrix_interleaved(w_in, w_out, c, s, sc))(
+        g["x_start"], g["x_scale"]).astype(jnp.bfloat16)
+
+    kernel = functools.partial(
+        _preprocess_kernel_v2, channels=c, norm=norm, depth_mode=depth_mode)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h_in, w_in * c), lambda i, _p: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_out, h_in), lambda i, _p: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w_in * c, w_out * c), lambda i, _p: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h_out, w_out * c), lambda i, _p: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out * c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(_vmem_bytes_v2((h_in, w_in), out_hw, c),
+                                 128 * 1024 * 1024)),
+        interpret=interpret,
+    )(params, frames.reshape(b, h_in, w_in * c), ay, t)
+    return out.reshape(b, h_out, w_out, c)
+
+
+# ---------------------------------------------------------------------------
 # Oracle (pure XLA, same math) — parity target and CPU fallback.
 # ---------------------------------------------------------------------------
 

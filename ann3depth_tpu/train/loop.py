@@ -140,7 +140,16 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     rng = jax.random.key(cfg.train.seed)
 
     n_steps = cfg.train.steps - start_step
-    if cfg.data.use_grain:
+    if cfg.data.cache_device:
+        if cfg.data.use_grain or extra_datasets:
+            raise ValueError(
+                "cache_device is exclusive with use_grain and "
+                "multi-dataset interleave — one resident pool, one source")
+        from ann3depth_tpu.pipeline.device_cache import DevicePoolSampler
+        feed = DevicePoolSampler(dataset, cfg.train.batch_size, mesh,
+                                 steps=n_steps,
+                                 seed=cfg.train.seed + start_step)
+    elif cfg.data.use_grain:
         if extra_datasets:
             raise NotImplementedError(
                 "use_grain with multiple datasets is not wired; drop "
@@ -160,7 +169,9 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     else:
         host_iter = dataset.batches(cfg.train.batch_size, steps=n_steps,
                                     seed=cfg.train.seed + start_step)
-    feed = DeviceFeed(host_iter, sharding=sharding, prefetch=cfg.data.prefetch)
+    if not cfg.data.cache_device:
+        feed = DeviceFeed(host_iter, sharding=sharding,
+                          prefetch=cfg.data.prefetch)
 
     step_kwargs = dict(input_hw=cfg.data.input_hw,
                        target_hw=resolved_target_hw(cfg),

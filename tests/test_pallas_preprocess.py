@@ -74,6 +74,34 @@ def test_fused_kernel_matches_oracle(augmented):
                                rtol=0.02, atol=0.03)
 
 
+@pytest.mark.parametrize("augmented", [False, True])
+def test_fused_kernel_v2_matches_oracle(augmented):
+    """v2 (XLA-precomputed weight matrices as operands) == XLA oracle."""
+    b, h, w = 2, 40, 56
+    x = jnp.asarray(_frames(b, h, w))
+    out_hw = (24, 32)
+    if augmented:
+        params = pp.augment_params(jax.random.key(1), b, (h, w), out_hw)
+    else:
+        params = pp.identity_params(b, (h, w), out_hw)
+    got = pp.fused_preprocess_v2(x, params, out_hw=out_hw, interpret=True)
+    want = pp.oracle_preprocess(x, params, out_hw=out_hw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.02, atol=0.03)
+
+
+def test_fused_kernel_v2_depth_mode():
+    b, dh, dw = 2, 30, 22
+    depth = jnp.asarray(RNG.uniform(1, 60, (b, dh, dw, 1)), jnp.float32)
+    params = pp.identity_params(b, (dh, dw), (15, 11))
+    got = pp.fused_preprocess_v2(depth, params, out_hw=(15, 11),
+                                 depth_mode=True, interpret=True)
+    want = pp.oracle_preprocess(depth, params, out_hw=(15, 11),
+                                depth_mode=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.02, atol=0.05)
+
+
 def test_fused_kernel_depth_mode():
     b, dh, dw = 2, 30, 22
     depth = jnp.asarray(RNG.uniform(1, 60, (b, dh, dw, 1)), jnp.float32)
