@@ -48,7 +48,7 @@ def main(batch=16, record=True):
     assert jax.default_backend() == "tpu", "kernel A/B needs the TPU"
     rng_np = np.random.default_rng(0)
     img = jnp.asarray(rng_np.integers(0, 256, (batch, *RAW_HW, 3), np.uint8))
-    dep = jnp.asarray(rng_np.uniform(1, 60, (batch, 48, 64), np.float64
+    dep = jnp.asarray(rng_np.uniform(1, 60, (batch, 48, 64)
                                      ).astype(np.float32))
     key = jax.random.key(1)
     params = pp.augment_params(key, batch, RAW_HW, INPUT_HW)
