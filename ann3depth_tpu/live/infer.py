@@ -47,9 +47,15 @@ def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
 
     emit_s2d: hand the model the pre-space-to-depth layout straight from
     the preprocess matmuls (encdec stems; train/loop.py wires the same)."""
+    # DEFAULT resize precision is the live path's deliberate choice (the
+    # model computes in bf16; exact-f32 resize would add MXU passes to a
+    # latency-bound program) — the recorded live-latency baselines measure
+    # this program. preprocess_image itself defaults to HIGHEST for the
+    # eval/parity surfaces (ADVICE r2).
     images = preprocess.preprocess_image(frame_u8, input_hw,
                                          use_pallas=use_pallas,
-                                         emit_s2d=emit_s2d)
+                                         emit_s2d=emit_s2d,
+                                         precision=jax.lax.Precision.DEFAULT)
     pred_log = apply_fn({"params": params}, images)
     depth = jnp.exp(pred_log[..., 0])
 

@@ -37,6 +37,19 @@ log = logging.getLogger(__name__)
 DEFAULT_BYTE_BUDGET = 8 << 30
 
 
+def stack_dataset(dataset):
+    """Materialize a uniform-shape dataset -> (img_u8 [N,...], dep [N,...])
+    host arrays. Shared by DevicePoolSampler and the convergence study."""
+    imgs, deps = zip(*(dataset[i] for i in range(len(dataset))))
+    try:
+        return np.stack(imgs), np.stack(deps)
+    except ValueError as e:
+        raise ValueError(
+            "device cache needs uniform example shapes — pack the "
+            "dataset first (`prepare` subcommand) or drop "
+            "--cache-device") from e
+
+
 class DevicePoolSampler:
     """Iterable of (img_u8, depth) device batches gathered from an
     HBM-resident pool. API-compatible with pipeline.feed.DeviceFeed's
@@ -45,19 +58,13 @@ class DevicePoolSampler:
     def __init__(self, dataset, batch_size, mesh, *, steps=None, seed=0,
                  byte_budget=DEFAULT_BYTE_BUDGET):
         self.n_data = mesh.shape.get(meshlib.DATA_AXIS, 1)
+        if batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
         if batch_size % self.n_data:
             raise ValueError(
                 f"batch_size={batch_size} not divisible by data axis "
                 f"{self.n_data}")
-        imgs, deps = zip(*(dataset[i] for i in range(len(dataset))))
-        try:
-            img = np.stack(imgs)
-            dep = np.stack(deps)
-        except ValueError as e:
-            raise ValueError(
-                "device cache needs uniform example shapes — pack the "
-                "dataset first (`prepare` subcommand) or drop "
-                "--cache-device") from e
+        img, dep = stack_dataset(dataset)
         nbytes = img.nbytes + dep.nbytes
         if nbytes > byte_budget:
             raise ValueError(
@@ -73,6 +80,14 @@ class DevicePoolSampler:
         self.n = n
         self.shard = n // self.n_data
         self.per_dev = batch_size // self.n_data
+        # The hazard iter_batches guards with the same error: a batch that
+        # can't be filled would otherwise make __iter__ spin forever
+        # computing empty epochs without yielding.
+        if self.per_dev > self.shard:
+            raise ValueError(
+                f"batch_size={batch_size} needs {self.per_dev} examples "
+                f"per device but each of the {self.n_data} shard(s) has "
+                f"only {self.shard} (dataset n={len(dataset)})")
         self.batch_size = batch_size
         self.steps = steps
         self.seed = seed
@@ -103,11 +118,14 @@ class DevicePoolSampler:
                          for _ in range(self.n_data)])
 
     def __iter__(self):
+        # steps=None -> exactly one epoch (iter_batches' contract).
+        total = (self.shard // self.per_dev if self.steps is None
+                 else self.steps)
         step = 0
-        while self.steps is None or step < self.steps:
+        while step < total:
             perms = self._epoch_local_perms()
             for b in range(self.shard // self.per_dev):
-                if self.steps is not None and step >= self.steps:
+                if step >= total:
                     return
                 # concat of per-device local index blocks: block d holds
                 # indices into device d's shard.

@@ -91,6 +91,14 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             "(round() has zero gradient — training would silently freeze "
             "the conv weights); train with quant='none' and pass --quant "
             "int8 to eval/live/infer")
+    if cfg.train.batch_size <= 0:
+        raise ValueError(
+            f"batch_size must be positive, got {cfg.train.batch_size}")
+    if cfg.data.cache_device and (cfg.data.use_grain
+                                  or len(cfg.data.datasets) > 1):
+        raise ValueError(
+            "cache_device is exclusive with use_grain and multi-dataset "
+            "interleave — one resident pool, one source")
     if mesh is None:
         # Auto mesh: widest DP that divides the global batch. A batch
         # smaller than the host's device count (smoke runs, tiny debug
@@ -141,10 +149,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
 
     n_steps = cfg.train.steps - start_step
     if cfg.data.cache_device:
-        if cfg.data.use_grain or extra_datasets:
-            raise ValueError(
-                "cache_device is exclusive with use_grain and "
-                "multi-dataset interleave — one resident pool, one source")
+        # (exclusivity with use_grain/multi-dataset validated up top,
+        # before the checkpoint manager/writers hold resources)
         from ann3depth_tpu.pipeline.device_cache import DevicePoolSampler
         feed = DevicePoolSampler(dataset, cfg.train.batch_size, mesh,
                                  steps=n_steps,

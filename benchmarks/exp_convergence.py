@@ -35,13 +35,15 @@ import numpy as np
 RESULTS = os.path.join(os.path.dirname(__file__), "results.jsonl")
 
 
-def _stack_dataset(ds):
-    imgs, deps = zip(*(ds[i] for i in range(len(ds))))
-    return np.stack(imgs), np.stack(deps)
-
-
 def _device_pool(ds):
-    img, dep = _stack_dataset(ds)
+    """Single-device HBM pool. Deliberately NOT DevicePoolSampler (which
+    yields gathered batches as separate dispatches): the study fuses the
+    gather INTO the train step (`_pool_train_step`) so each step is one
+    device program — same HBM-resident-pool design, experiment-local
+    sampling."""
+    from ann3depth_tpu.pipeline.device_cache import stack_dataset
+
+    img, dep = stack_dataset(ds)
     return jax.device_put(img), jax.device_put(dep)
 
 

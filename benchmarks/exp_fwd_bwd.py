@@ -78,53 +78,59 @@ def ladder(batch=16, record=True):
         pred = model.apply({"params": params}, images)
         return losses.scale_invariant_log_loss(pred, depths, lam=0.5)
 
-    # --- single-step bodies (scan carries force all work to happen) ---
-    def body_fwd(c, _):
+    # --- single-step bodies (scan carries force all work to happen).
+    # img/dep/params are formal jit ARGUMENTS, never closure captures: a
+    # closed-over concrete array embeds in the HLO as a constant, and at
+    # b256 the uint8 pool is ~236 MB of compile request through the
+    # tunnel (the bench_infer.py HTTP-413 hazard). ---
+    def body_fwd(c, img, dep, params):
         key = jax.random.fold_in(rng, c.astype(jnp.int32))
         images, depths = pre(img, dep, key)
-        return c + fwd_loss(state0.params, images, depths), None
+        return c + fwd_loss(params, images, depths)
 
-    def body_fwdbwd(c, _):
+    def body_fwdbwd(c, img, dep, params):
         key = jax.random.fold_in(rng, c.astype(jnp.int32))
         images, depths = pre(img, dep, key)
-        loss, grads = jax.value_and_grad(fwd_loss)(
-            state0.params, images, depths)
-        return c + loss + optax.global_norm(grads), None
+        loss, grads = jax.value_and_grad(fwd_loss)(params, images, depths)
+        return c + loss + optax.global_norm(grads)
 
-    def body_full(state, _):
+    def body_full(state, img, dep):
         s, m = steplib.train_step.__wrapped__(
             state, img, dep, rng, input_hw=INPUT_HW, target_hw=TARGET_HW,
             si_lambda=0.5, augment=True, emit_s2d=emit)
         return s, m["loss"]
 
     @jax.jit
-    def scan_fwd(c):
-        return jax.lax.scan(body_fwd, c, None, length=K)[0]
+    def scan_fwd(c, img, dep, params):
+        return jax.lax.scan(lambda c, _: (body_fwd(c, img, dep, params),
+                                          None), c, None, length=K)[0]
 
     @jax.jit
-    def scan_fwdbwd(c):
-        return jax.lax.scan(body_fwdbwd, c, None, length=K)[0]
+    def scan_fwdbwd(c, img, dep, params):
+        return jax.lax.scan(lambda c, _: (body_fwdbwd(c, img, dep, params),
+                                          None), c, None, length=K)[0]
 
     @jax.jit
-    def scan_full(state):
-        s, ls = jax.lax.scan(body_full, state, None, length=K)
+    def scan_full(state, img, dep):
+        s, ls = jax.lax.scan(lambda s, _: body_full(s, img, dep),
+                             state, None, length=K)
         return ls[-1]
 
     # FLOPs per rung from single-step programs (cost_analysis counts a
     # scan body once regardless of trip count — bench_infer.py rationale).
     c0 = jnp.zeros((), jnp.float32)
-    fl_fwd = flopslib.step_flops(
-        jax.jit(lambda c: body_fwd(c, None)[0]), c0)
-    fl_fwdbwd = flopslib.step_flops(
-        jax.jit(lambda c: body_fwdbwd(c, None)[0]), c0)
+    params0 = state0.params
+    fl_fwd = flopslib.step_flops(jax.jit(body_fwd), c0, img, dep, params0)
+    fl_fwdbwd = flopslib.step_flops(jax.jit(body_fwdbwd), c0, img, dep,
+                                    params0)
     fl_full = flopslib.step_flops(
-        jax.jit(lambda s: body_full(s, None)[0]),
-        jax.tree.map(jnp.copy, state0))
+        jax.jit(lambda s, i, d: body_full(s, i, d)[0]),
+        jax.tree.map(jnp.copy, state0), img, dep)
 
-    t_fwd = _timeit(lambda: scan_fwd(c0)) / K
-    t_fwdbwd = _timeit(lambda: scan_fwdbwd(c0)) / K
+    t_fwd = _timeit(lambda: scan_fwd(c0, img, dep, params0)) / K
+    t_fwdbwd = _timeit(lambda: scan_fwdbwd(c0, img, dep, params0)) / K
     state = jax.tree.map(jnp.copy, state0)
-    t_full = _timeit(lambda: scan_full(state)) / K
+    t_full = _timeit(lambda: scan_full(state, img, dep)) / K
 
     peak = flopslib.device_peak_flops() or float("nan")
 

@@ -72,6 +72,40 @@ def main(batch=16, record=True):
         results[f"standalone_{name}_ms"] = round(
             _timeit(lambda fn=fn: fn(img, params), sync_elem) * 1e3, 3)
 
+    # Scan-of-K standalone: param + weight construction inside the
+    # program, one dispatch per K batches — the dispatch-noise-free
+    # numbers the adopt/retire decision is based on (docs/design.md §2).
+    base_key = jax.random.key(1)
+
+    def make_standalone_scan(fn):
+        def body(c, i, img):
+            p = pp.augment_params(jax.random.fold_in(base_key, i),
+                                  batch, RAW_HW, INPUT_HW)
+            out = fn(img, p)
+            return c + out[0, 0, 0, 0], None
+
+        @jax.jit
+        def scan(c, img):
+            return jax.lax.scan(lambda c, i: body(c, i, img), c,
+                                jnp.arange(K))[0]
+
+        return scan
+
+    for name, raw_fn in {
+        "xla_default": lambda x, p: pp.oracle_preprocess(
+            x, p, out_hw=INPUT_HW, precision=jax.lax.Precision.DEFAULT),
+        "pallas_v1": lambda x, p: pp.fused_preprocess(x, p, out_hw=INPUT_HW),
+        "pallas_v2": lambda x, p: pp.fused_preprocess_v2(
+            x, p, out_hw=INPUT_HW),
+    }.items():
+        scan = make_standalone_scan(raw_fn)
+        c0 = jnp.zeros((), jnp.float32)
+        t = _timeit(lambda: scan(c0, img),
+                    lambda out: float(jax.device_get(out)),
+                    warmup=2, iters=5)
+        results[f"standalone_scan_{name}_ms_per_batch"] = round(
+            t / K * 1e3, 3)
+
     # --- in-step: full train step scan-of-K with each preprocess impl ---
     cfg = get_config("make3d-encdec")
     model = registry.build(cfg.model)
@@ -84,7 +118,7 @@ def main(batch=16, record=True):
     from ann3depth_tpu.train import losses
 
     def make_scan(impl):
-        def preprocess_pair(pkey):
+        def preprocess_pair(pkey, img, dep):
             img_p = pp.augment_params(pkey, batch, RAW_HW, INPUT_HW)
             dep_p = pp.augment_params(pkey, batch, (48, 64), TARGET_HW)
             if impl == "xla":
@@ -99,9 +133,9 @@ def main(batch=16, record=True):
                         depth_mode=True)[..., 0]
             return images, depths
 
-        def body(state, _):
+        def body_with(state, img, dep):
             pkey = jax.random.fold_in(rng, state.step)
-            images, depths = preprocess_pair(pkey)
+            images, depths = preprocess_pair(pkey, img, dep)
 
             def loss_fn(p):
                 pred = state.apply_fn({"params": p}, images)
@@ -116,8 +150,9 @@ def main(batch=16, record=True):
                                  opt_state=new_opt), loss
 
         @jax.jit
-        def scan_steps(state):
-            s, ls = jax.lax.scan(body, state, None, length=K)
+        def scan_steps(state, img, dep):
+            s, ls = jax.lax.scan(lambda s, _: body_with(s, img, dep),
+                                 state, None, length=K)
             return ls[-1]
 
         return scan_steps
@@ -125,7 +160,7 @@ def main(batch=16, record=True):
     for impl in ("xla", "pallas_v1", "pallas_v2"):
         scan = make_scan(impl)
         state = jax.tree.map(jnp.copy, state0)
-        t = _timeit(lambda: scan(state),
+        t = _timeit(lambda: scan(state, img, dep),
                     lambda out: float(jax.device_get(out)),
                     warmup=2, iters=5)
         results[f"instep_{impl}_ms_per_step"] = round(t / K * 1e3, 3)

@@ -70,6 +70,23 @@ def test_train_loop_with_cache_device(tmp_path, cpu_mesh):
     assert np.isfinite(metrics["loss"])
 
 
+def test_oversized_batch_raises(cpu_mesh):
+    ds = SyntheticDepthDataset(n=16, img_hw=(16, 16), depth_hw=(8, 8))
+    # per_dev = 32/8 = 4 > shard = 16/8 = 2 -> must error, not spin
+    with pytest.raises(ValueError, match="per device"):
+        DevicePoolSampler(ds, 32, cpu_mesh)
+    with pytest.raises(ValueError, match="positive"):
+        DevicePoolSampler(ds, 0, cpu_mesh)
+
+
+def test_steps_none_is_one_epoch(cpu_mesh):
+    ds = SyntheticDepthDataset(n=16, img_hw=(16, 16), depth_hw=(8, 8))
+    sampler = DevicePoolSampler(ds, 8, cpu_mesh, steps=None, seed=0)
+    n_dev = cpu_mesh.devices.size
+    # shard = 2, per_dev = 1 -> one epoch = 2 batches
+    assert sum(1 for _ in sampler) == (16 // n_dev) // (8 // n_dev)
+
+
 def test_cache_device_rejects_grain_combo(tmp_path):
     from ann3depth_tpu.config import get_config
     from ann3depth_tpu.train import loop as looplib
