@@ -32,9 +32,18 @@ class MLP(nn.Module):
     dim: int
     hidden: int
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"  # int8 serving path (ops/quant.QDense)
 
     @nn.compact
     def __call__(self, x):
+        if self.quant == "int8":
+            from ann3depth_tpu.ops.quant import QDense
+            # explicit names = flax's auto-names for the bf16 branch, so
+            # the param tree (and the TP rules keyed on Dense_0/Dense_1 —
+            # parallel/sharding_rules.py) is identical either way.
+            x = QDense(self.hidden, out_dtype=self.dtype, name="Dense_0")(x)
+            x = nn.gelu(x)
+            return QDense(self.dim, out_dtype=self.dtype, name="Dense_1")(x)
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x)
         return nn.Dense(self.dim, dtype=self.dtype)(x)
@@ -53,18 +62,28 @@ class Block(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "flax"  # "flax" | "jnn" (same params, same math)
+    quant: str = "none"           # int8 serving (q/k/v/out + MLP matmuls)
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
-        attn_kw = ({"attention_fn": _jnn_attention}
-                   if self.attention_impl == "jnn" else {})
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, deterministic=True,
-            **attn_kw)(y, y)
+        if self.quant == "int8":
+            from ann3depth_tpu.ops.quant import QMultiHeadAttention
+            # named with flax's auto-name so the bf16-trained param tree
+            # loads unchanged (ops/quant.QMultiHeadAttention docstring)
+            y = QMultiHeadAttention(
+                num_heads=self.heads, dtype=self.dtype,
+                name="MultiHeadDotProductAttention_0")(y)
+        else:
+            attn_kw = ({"attention_fn": _jnn_attention}
+                       if self.attention_impl == "jnn" else {})
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, dtype=self.dtype, deterministic=True,
+                **attn_kw)(y, y)
         x = x + y
         y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
-        return x + MLP(self.dim, self.dim * 4, dtype=self.dtype)(y)
+        return x + MLP(self.dim, self.dim * 4, dtype=self.dtype,
+                       quant=self.quant)(y)
 
 
 class FusionBlock(nn.Module):
@@ -105,6 +124,11 @@ class DPTDepthNet(nn.Module):
     remat: bool = True
     upsample: str = "resize"  # fusion-head x2/x4: "matmul" | "resize"
     attention_impl: str = "flax"  # inner SDPA: "flax" | "jnn"
+    # int8 serving for the ViT ENCODER (q/k/v/out + MLP matmuls via
+    # ops/quant.py; same param tree as bf16 training). The fusion head
+    # stays bf16 — it is HBM-bandwidth-bound (design.md §2b), so int8
+    # compute there buys ~nothing.
+    quant: str = "none"
     # Coarsest feature resolution the head runs at before the 1-channel
     # bilinear to full res. 2 (default): finest fusion stage emits 192²
     # maps. 4: the head stays at 96² (all 4 taps still consumed; fuse1
@@ -143,6 +167,7 @@ class DPTDepthNet(nn.Module):
         for i in range(self.depth):
             tok = block(self.dim, self.heads, dtype=dt,
                         attention_impl=self.attention_impl,
+                        quant=self.quant,
                         name=f"block{i}")(tok)
             if i in self.tap_layers:
                 taps.append(tok)

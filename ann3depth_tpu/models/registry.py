@@ -35,12 +35,14 @@ def build(cfg: ModelConfig):
         ctor = _REGISTRY[cfg.name]
     except KeyError:
         raise KeyError(f"unknown model {cfg.name!r}; have {available()}")
-    if getattr(cfg, "quant", "none") != "none" and cfg.name != "encdec":
-        # Only encdec has a quantized serving twin (ops/quant.py); failing
-        # loudly beats benchmarking bf16 under an int8 label (ADVICE r2).
+    if getattr(cfg, "quant", "none") != "none" and cfg.name not in (
+            "encdec", "dpt"):
+        # Only encdec and dpt have quantized serving twins (ops/quant.py);
+        # failing loudly beats benchmarking bf16 under an int8 label
+        # (ADVICE r2).
         raise ValueError(
-            f"quant={cfg.quant!r} is only supported by 'encdec', "
-            f"not {cfg.name!r}")
+            f"quant={cfg.quant!r} is only supported by 'encdec' and "
+            f"'dpt', not {cfg.name!r}")
     return ctor(cfg)
 
 
@@ -65,7 +67,8 @@ def _encdec(cfg: ModelConfig):
 @register("dpt")
 def _dpt(cfg: ModelConfig):
     from ann3depth_tpu.models.dpt import DPTDepthNet
-    return DPTDepthNet(compute_dtype=_dtype(cfg), remat=cfg.remat)
+    return DPTDepthNet(compute_dtype=_dtype(cfg), remat=cfg.remat,
+                       quant=getattr(cfg, "quant", "none"))
 
 
 def output_hw(name: str, input_hw):

@@ -60,6 +60,96 @@ def qconv(x, kernel, strides=(1, 1), padding="SAME"):
     return y.astype(jnp.float32) * sx * sk.reshape(1, 1, 1, -1)
 
 
+def qmatmul(x, kernel):
+    """Int8 matmul: f32/bf16 x [..., In], f32 kernel [In, Out] -> f32.
+
+    Dynamic per-tensor activation scale + per-output-column kernel scales;
+    int32 accumulation on the MXU (2x the bf16 rate on v5e)."""
+    lead = x.shape[:-1]
+    xq, sx = quantize_sym(x.astype(jnp.float32).reshape(-1, x.shape[-1]))
+    kq, sk = quantize_sym(kernel.astype(jnp.float32), axis=(0,))
+    y = jax.lax.dot_general(
+        xq, kq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * sx * sk.reshape(1, -1)).reshape(
+        *lead, kernel.shape[-1])
+
+
+class QDense(nn.Module):
+    """Param-compatible int8 replacement for nn.Dense (kernel + bias)."""
+
+    features: int
+    out_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return (qmatmul(x, kernel) + bias).astype(self.out_dtype)
+
+
+class QMultiHeadAttention(nn.Module):
+    """Param-compatible int8 replacement for flax's
+    nn.MultiHeadDotProductAttention (self-attention, no mask/dropout —
+    the DPT usage). The q/k/v/out PROJECTIONS run int8 on the MXU
+    (dynamic activation scales, per-column kernel scales); the
+    attention-score/value matmuls stay bf16 (per-example T x T dynamic
+    ranges make them a poor per-tensor-quant target and they are a small
+    fraction of the FLOPs at 576 tokens).
+
+    Param tree mirrors flax exactly: {query,key,value}/kernel (E, H, D) +
+    bias (H, D); out/kernel (H, D, E) + bias (E,) — a checkpoint trained
+    with the bf16 model loads unchanged (models/dpt.py names this module
+    with flax's auto-name for that compatibility)."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, e = x.shape
+        h = self.num_heads
+        d = e // h
+        assert h * d == e, (e, h)
+
+        # flax nests q/k/v/out as DenseGeneral submodule scopes; a tiny
+        # inner module reproduces those exact param paths.
+        class _Proj(nn.Module):
+            shape: tuple
+            bias_shape: tuple
+
+            @nn.compact
+            def __call__(self_inner, x, contract):
+                kernel = self_inner.param(
+                    "kernel", nn.initializers.lecun_normal(),
+                    self_inner.shape, jnp.float32)
+                bias = self_inner.param(
+                    "bias", nn.initializers.zeros, self_inner.bias_shape,
+                    jnp.float32)
+                if contract == "in":      # [.., E] @ (E, H, D)
+                    y = qmatmul(x, kernel.reshape(e, h * d))
+                    return y.reshape(*x.shape[:-1], h, d) + bias
+                else:                     # [.., H, D] @ (H, D, E)
+                    y = qmatmul(x.reshape(*x.shape[:-2], h * d),
+                                kernel.reshape(h * d, e))
+                    return y + bias
+
+        q = _Proj((e, h, d), (h, d), name="query")(x, "in")
+        k = _Proj((e, h, d), (h, d), name="key")(x, "in")
+        v = _Proj((e, h, d), (h, d), name="value")(x, "in")
+
+        dt = self.dtype
+        q = (q / jnp.sqrt(d).astype(jnp.float32)).astype(dt)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(dt))
+        w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(dt))
+        out = _Proj((h, d, e), (e,), name="out")(o.astype(jnp.float32),
+                                                 "out")
+        return out.astype(dt)
+
+
 class QConv(nn.Module):
     """Param-compatible int8 replacement for nn.Conv(use_bias=False)."""
 

@@ -69,3 +69,45 @@ def test_encdec_int8_shares_param_tree_and_stays_close():
     # log-depth divergence ~exp-scale relative depth error; <15% worst-case
     assert float(d.mean()) < 0.05 and float(d.max()) < 0.15, (
         d.mean(), d.max())
+
+
+def test_qmatmul_close_to_f32():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (5, 7, 24)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.3, (24, 16)), jnp.float32)
+    want = x @ k
+    got = quant.qmatmul(x, k)
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.03 * scale)
+
+
+def test_dpt_int8_shares_param_tree_and_stays_close():
+    """DPT quant='int8' (QDense MLP + QMultiHeadAttention) runs the
+    UNCONVERTED bf16 param tree; log-depth stays within quant noise."""
+    from ann3depth_tpu.models.dpt import DPTDepthNet
+    from ann3depth_tpu.train import step as steplib
+
+    kw = dict(dim=64, depth=4, heads=2, fusion_features=32,
+              tap_layers=(0, 1, 2, 3), remat=False)
+    m_bf = DPTDepthNet(**kw)
+    m_q = DPTDepthNet(**kw, quant="int8")
+    params = steplib.init_params(m_bf, (32, 32), seed=0)
+    q_params = steplib.init_params(m_q, (32, 32), seed=0)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(q_params))
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(q_params)[0]):
+        assert p1 == p2 and a.shape == b.shape and a.dtype == b.dtype, (
+            p1, a.shape, b.shape)
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+    y_bf = m_bf.apply({"params": params}, x)
+    y_q = m_q.apply({"params": params}, x)
+    d = np.abs(np.asarray(y_q, np.float32) - np.asarray(y_bf, np.float32))
+    # 3 blocks of int8 projections on bf16 activations: small log-depth
+    # divergence (the encdec int8 budget scaled for depth-3)
+    assert d.mean() < 0.05, d.mean()
+    assert d.max() < 0.5, d.max()
