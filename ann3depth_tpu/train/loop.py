@@ -233,7 +233,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 # In-loop eval is a SAMPLE (4 batches), not the full split;
                 # eval_batches in the record keeps it distinguishable from
                 # the CLI's full-split numbers in convergence studies.
-                em = evaluate(cfg, state=state, dataset=eval_ds, max_batches=4)
+                em = evaluate(cfg, state=state, dataset=eval_ds,
+                              max_batches=4, mesh=mesh)
                 writer.write(step_no + 1,
                              {**{f"eval_{k}": v for k, v in em.items()},
                               "eval_batches": 4})
@@ -279,16 +280,28 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
                                     jax.device_get(depths), pred, tb)
 
 
-def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
+def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
+             mesh=None):
     """Eval loop: accumulate global sufficient statistics over the test
     split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
     error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
-    loss stays the mean over images of the per-image Eigen loss."""
+    loss stays the mean over images of the per-image Eigen loss.
+
+    Data-parallel like training: batches are sharded over the mesh's
+    "data" axis (auto mesh capped to a divisor of the batch size, same
+    policy as train); the stats reduction psums over ICI."""
     from ann3depth_tpu.train import losses
 
     dataset = dataset or build_dataset(cfg, "test")
+    if mesh is None:
+        devices = jax.devices()
+        n_data = len(devices)
+        while cfg.train.batch_size % n_data:
+            n_data -= 1
+        mesh = meshlib.create_mesh(devices[:n_data])
+    sharding = meshlib.batch_sharding(mesh)
     if state is None:
-        state = create_state(cfg)
+        state = create_state(cfg, mesh)
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
         state, restored = ckpt.restore(state)
         ckpt.close()
@@ -303,6 +316,8 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None):
     for b, (img_u8, depth) in enumerate(
             dataset.batches(cfg.train.batch_size, steps=max_batches,
                             shuffle=False)):
+        img_u8, depth = (jax.device_put(img_u8, sharding),
+                         jax.device_put(depth, sharding))
         stats = steplib.eval_stats_step(
             state, img_u8, depth,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),

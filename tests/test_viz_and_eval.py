@@ -71,3 +71,30 @@ def test_train_with_eval_every_and_viz(tmp_path):
     assert len(eval_lines) == 2  # steps 2 and 4
     pngs = glob.glob(str(tmp_path / "triples_step*.png"))
     assert len(pngs) == 2
+
+
+def test_dp_eval_matches_single_device(cpu_mesh):
+    """evaluate() over the 8-device mesh == over a 1-device mesh (the
+    stats psum is exact up to f32 reduction order)."""
+    import jax
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+    from ann3depth_tpu.parallel import mesh as meshlib
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, input_hw=(48, 64)),
+        train=dataclasses.replace(cfg.train, batch_size=8, seed=0))
+    ds = SyntheticDepthDataset(n=16, seed=1)
+    state1 = looplib.create_state(
+        cfg, meshlib.create_mesh(jax.devices("cpu")[:1]))
+    m1 = looplib.evaluate(cfg, state=state1, dataset=ds,
+                          mesh=meshlib.create_mesh(jax.devices("cpu")[:1]))
+    state8 = looplib.create_state(cfg, cpu_mesh)
+    m8 = looplib.evaluate(cfg, state=state8, dataset=ds, mesh=cpu_mesh)
+    for k in m1:
+        assert abs(m1[k] - m8[k]) <= 1e-4 * max(1.0, abs(m1[k])), (
+            k, m1[k], m8[k])
