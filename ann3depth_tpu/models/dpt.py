@@ -126,8 +126,11 @@ class DPTDepthNet(nn.Module):
     attention_impl: str = "flax"  # inner SDPA: "flax" | "jnn"
     # int8 serving for the ViT ENCODER (q/k/v/out + MLP matmuls via
     # ops/quant.py; same param tree as bf16 training). The fusion head
-    # stays bf16 — it is HBM-bandwidth-bound (design.md §2b), so int8
-    # compute there buys ~nothing.
+    # stays bf16 — it is HBM-bandwidth-bound (design.md §2b). MEASURED
+    # AND REJECTED for this model (r3, BASELINE.md): −14.7% at b16 —
+    # dynamic quantize overhead on 384-dim matmuls beats the int8 MXU
+    # rate. The knob stays as the tested capability + the measurement's
+    # documentation; bf16 is the recommended DPT serving path.
     quant: str = "none"
     # Coarsest feature resolution the head runs at before the 1-channel
     # bilinear to full res. 2 (default): finest fusion stage emits 192²
