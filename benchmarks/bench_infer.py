@@ -95,6 +95,7 @@ def run(cfg, batch=32, steps=60, raw_hw=(480, 640), record=True,
     quant = getattr(model, "quant", getattr(cfg.model, "quant", "none"))
     flopslib.attach_mfu(result, batch_fl, total, dt,
                         dtype="int8" if quant == "int8" else "bf16")
+    flopslib.attach_memory(result)
     if record:
         with open(RESULTS, "a") as f:
             f.write(json.dumps(result) + "\n")

@@ -140,6 +140,7 @@ def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
     }
     assert loss_scan == loss_scan, "NaN loss in scan benchmark"
     flopslib.attach_mfu(result, step_fl, scan_steps_total, dt_scan)
+    flopslib.attach_memory(result)
     if record:
         with open(RESULTS, "a") as f:
             f.write(json.dumps(result) + "\n")

@@ -26,6 +26,9 @@ FLOORS = {
     "encdec_b16_mfu": (0.20, 0.330),
     # Serving path (bench_infer, r2b: 16.7k bf16 / 18.6k int8 at b32).
     "encdec_b32_infer_images_per_sec": (13000.0, 16664.0),
+    # DPT serving at its measured-optimal batch (r3: 2043 img/s, MFU 0.52
+    # at b16 — BASELINE.md).
+    "dpt384_b16_infer_images_per_sec": (1600.0, 2043.0),
 }
 
 
@@ -54,6 +57,9 @@ def main() -> int:
     from benchmarks import bench_infer
     r = bench_infer.run(get_config("make3d-encdec"), batch=32, record=False)
     results["encdec_b32_infer_images_per_sec"] = r["images_per_sec"]
+
+    r = bench_infer.run(get_config("dpt-384"), batch=16, record=False)
+    results["dpt384_b16_infer_images_per_sec"] = r["images_per_sec"]
 
     cfg = get_config("live")
     state = looplib.create_state(cfg)

@@ -65,6 +65,18 @@ def step_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
         return None
 
 
+def attach_memory(result: dict, device=None) -> dict:
+    """Add peak HBM usage when the backend reports it (local chips do;
+    the axon tunnel returns None — silently omitted there)."""
+    import jax
+
+    d = device if device is not None else jax.devices()[0]
+    stats = getattr(d, "memory_stats", lambda: None)()
+    if stats and stats.get("peak_bytes_in_use"):
+        result["peak_hbm_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 3)
+    return result
+
+
 def attach_mfu(result: dict, flops: Optional[float], steps: int,
                dt_seconds: float, dtype: str = "bf16") -> dict:
     """Extend a benchmark result dict with model_tflops / achieved_tflops /

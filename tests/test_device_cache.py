@@ -87,6 +87,23 @@ def test_steps_none_is_one_epoch(cpu_mesh):
     assert sum(1 for _ in sampler) == (16 // n_dev) // (8 // n_dev)
 
 
+def test_cache_device_from_packed_records(tmp_path, cpu_mesh):
+    """The production flow: `prepare` packs shards once, cache_device
+    stages them into HBM (records.RecordDataset speaks the loader
+    protocol DevicePoolSampler needs)."""
+    from ann3depth_tpu.data.records import RecordDataset, pack
+
+    ds = SyntheticDepthDataset(n=16, img_hw=(24, 32), depth_hw=(12, 16))
+    index = pack(ds, str(tmp_path), "train", shard_size=5)
+    rec = RecordDataset(index)
+    sampler = DevicePoolSampler(rec, 8, cpu_mesh, steps=2, seed=0)
+    batches = list(sampler)
+    assert len(batches) == 2
+    img, dep = batches[0]
+    assert img.shape == (8, 24, 32, 3) and dep.shape == (8, 12, 16)
+    sampler.close()
+
+
 def test_cache_device_rejects_grain_combo(tmp_path):
     from ann3depth_tpu.config import get_config
     from ann3depth_tpu.train import loop as looplib
