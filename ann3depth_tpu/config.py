@@ -121,16 +121,17 @@ PRESETS = {
         model={"name": "encdec"},
     ),
     # [B:11] DPT-style ViT depth model at 384x384 (stretch).
-    # remat=False: fits HBM at b8 and measured 7% faster (584 vs 546
-    # img/s, r2) — remat recompute cost 0.24 TFLOP/step. Set remat=True
-    # for HBM headroom at larger batch.
+    # batch 16, remat=False: the r3 sweep's winner (622 img/s MFU 0.464
+    # vs b8's 568; b8/b16 with remat and b16-serving sweeps in
+    # BASELINE.md). Still fits HBM without remat; set remat=True only
+    # for larger batches.
     "dpt-384": _cfg(
         data={
             "datasets": ("nyu",),
             "input_hw": (ref.DPT_RES, ref.DPT_RES),
         },
         model={"name": "dpt"},
-        train={"batch_size": 8},
+        train={"batch_size": 16},
     ),
     # Test/smoke preset: synthetic data, tiny everything.
     "smoke": _cfg(

@@ -18,7 +18,8 @@ import sys
 # robust to the tunnel's per-dispatch RTT weather, see bench_train.py)
 FLOORS = {
     "encdec_b16_images_per_sec": (6000.0, 8215.0),
-    "dpt384_b8_images_per_sec": (450.0, 584.0),
+    # r3: preset moved to b16 remat=False (622 img/s, the sweep winner)
+    "dpt384_train_images_per_sec": (500.0, 622.0),
     "live_device_step_ms_max": (5.0, 1.55),  # upper bound
     # Efficiency floor (VERDICT r1): catches "still fast in img/s but
     # regressed in MFU" after model-capacity changes. r2b measured 0.330
@@ -52,7 +53,7 @@ def main() -> int:
     results["encdec_b16_mfu"] = r.get("mfu", 0.0)
 
     r = bench_train.run(get_config("dpt-384"), steps=30, record=False)
-    results["dpt384_b8_images_per_sec"] = r["images_per_sec"]
+    results["dpt384_train_images_per_sec"] = r["images_per_sec"]
 
     from benchmarks import bench_infer
     r = bench_infer.run(get_config("make3d-encdec"), batch=32, record=False)
