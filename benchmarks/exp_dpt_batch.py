@@ -21,7 +21,9 @@ def main(batches=(8, 16)):
 
     out = []
     for b in batches:
-        for remat in ((False, True) if b <= 8 else (True,)):
+        # Try both remat settings at every batch; an OOM at large
+        # batch/no-remat is itself a data point (caught below).
+        for remat in (False, True):
             cfg = get_config("dpt-384")
             cfg = dataclasses.replace(
                 cfg,
