@@ -5,6 +5,7 @@
     python -m ann3depth_tpu live  --ckpt-dir ... [--camera 0 | --video f]
     python -m ann3depth_tpu download --dataset make3d --data-dir data
     python -m ann3depth_tpu bench --config make3d-encdec
+    python -m ann3depth_tpu export --ckpt-dir ... --out-dir artifact/
 
 Subcommands mirror the reference's modes (train / eval / live view +
 dataset download); flags resolve onto the typed presets in config.py.
@@ -128,6 +129,25 @@ def build_parser():
     pb.add_argument("--serving", action="store_true",
                     help="measure inference throughput (bench_infer) "
                          "instead of training")
+
+    px = sub.add_parser(
+        "export", help="serialize the serving program (on-device preprocess "
+        "+ forward + exp) into a portable StableHLO artifact directory "
+        "(jax.export); servable without the model code")
+    _common_flags(px)
+    px.add_argument("--out-dir", required=True,
+                    help="artifact directory (serving.jaxexport, params.npz, "
+                         "meta.json)")
+    px.add_argument("--serving-batch", type=int,
+                    help="pin a fixed batch size; default: batch-polymorphic "
+                         "(one artifact, any batch)")
+    px.add_argument("--raw-hw", type=int, nargs=2, default=[480, 640],
+                    metavar=("H", "W"),
+                    help="raw frame shape the artifact accepts (default "
+                         "640x480 camera frames [B:10])")
+    px.add_argument("--init", action="store_true",
+                    help="export random-init params instead of requiring a "
+                         "checkpoint (artifact plumbing tests)")
     return p
 
 
@@ -223,6 +243,27 @@ def main(argv=None):
                 rec["depth_png"] = png
             outputs.append(rec)
         print(json.dumps(outputs))
+        return 0
+
+    if args.mode == "export":
+        from ann3depth_tpu import serving
+        from ann3depth_tpu.train import loop
+        from ann3depth_tpu.train.checkpoint import CheckpointManager
+
+        cfg = _resolve(args)
+        state = loop.create_state(cfg)
+        if not args.init:
+            ckpt = CheckpointManager(cfg.train.ckpt_dir)
+            state, restored = ckpt.restore(state)
+            ckpt.close()
+            if restored is None:
+                raise RuntimeError(
+                    f"no checkpoint in {cfg.train.ckpt_dir}; pass --init to "
+                    "export random-init params")
+        meta = serving.export_serving(
+            cfg, state.params, args.out_dir,
+            batch=args.serving_batch, raw_hw=tuple(args.raw_hw))
+        print(json.dumps(meta))
         return 0
 
     if args.mode == "download":
