@@ -57,11 +57,82 @@ def _jnn_attention(query, key, value, bias=None, mask=None, **_kw):
     return jax.nn.dot_product_attention(query, key, value)
 
 
+class FusedQKVSelfAttention(nn.Module):
+    """Self-attention with the q/k/v projections as ONE fused MXU matmul.
+
+    Param tree mirrors flax's nn.MultiHeadDotProductAttention exactly
+    ({query,key,value}/kernel (E,H,D) + bias (H,D); out/kernel (H,D,E) +
+    bias (E,)) so checkpoints are interchangeable with the "flax" impl.
+    The three projection kernels are concatenated at apply time into one
+    [E, 3E] operand: one [B*T,E]x[E,3E] matmul instead of three
+    [B*T,E]x[E,E].
+
+    MEASURED AND REJECTED (r3, benchmarks/exp_dpt_qkv.py, b16): train
+    -2.4%, serving -4.8% vs the flax path. The concatenate cannot be
+    folded away — kernels are runtime inputs, so XLA materializes the
+    [E,3E] operand each step and the copies cost more than the wider-N
+    matmul saves at E=384. Kept as a tested, param-compatible capability
+    (checkpoints interchange with "flax"); "flax" stays the default.
+    """
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, e = x.shape
+        h = self.num_heads
+        d = e // h
+        assert h * d == e, (e, h)
+
+        # flax nests q/k/v/out as DenseGeneral submodule scopes; a tiny
+        # inner module reproduces those exact param paths (the
+        # ops/quant.QMultiHeadAttention pattern).
+        class _P(nn.Module):
+            shape: tuple
+            bias_shape: tuple
+
+            @nn.compact
+            def __call__(self_inner):
+                kern = self_inner.param(
+                    "kernel", nn.initializers.lecun_normal(),
+                    self_inner.shape, jnp.float32)
+                bias = self_inner.param(
+                    "bias", nn.initializers.zeros, self_inner.bias_shape,
+                    jnp.float32)
+                return kern, bias
+
+        qk, qb = _P((e, h, d), (h, d), name="query")()
+        kk, kb = _P((e, h, d), (h, d), name="key")()
+        vk, vb = _P((e, h, d), (h, d), name="value")()
+
+        dt = self.dtype
+        wqkv = jnp.concatenate(
+            [qk.reshape(e, e), kk.reshape(e, e), vk.reshape(e, e)],
+            axis=1).astype(dt)
+        bqkv = jnp.concatenate(
+            [qb.reshape(e), kb.reshape(e), vb.reshape(e)]).astype(dt)
+        y = x.astype(dt) @ wqkv + bqkv                      # [B, T, 3E]
+        q, k, v = (p.reshape(b, t, h, d) for p in jnp.split(y, 3, axis=-1))
+
+        # Same attention math as the flax path: scaled scores in compute
+        # dtype, f32 softmax (flax promotes reductions the same way).
+        q = q / jnp.asarray(jnp.sqrt(d), dt)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+        ok, ob = _P((h, d, e), (e,), name="out")()
+        out = o.reshape(b, t, e) @ ok.reshape(e, e).astype(dt)
+        return out + ob.astype(dt)
+
+
 class Block(nn.Module):
     dim: int
     heads: int
     dtype: jnp.dtype = jnp.bfloat16
-    attention_impl: str = "flax"  # "flax" | "jnn" (same params, same math)
+    # "flax" | "jnn" | "fused" — same params, same math either way
+    attention_impl: str = "flax"
     quant: str = "none"           # int8 serving (q/k/v/out + MLP matmuls)
 
     @nn.compact
@@ -72,6 +143,10 @@ class Block(nn.Module):
             # named with flax's auto-name so the bf16-trained param tree
             # loads unchanged (ops/quant.QMultiHeadAttention docstring)
             y = QMultiHeadAttention(
+                num_heads=self.heads, dtype=self.dtype,
+                name="MultiHeadDotProductAttention_0")(y)
+        elif self.attention_impl == "fused":
+            y = FusedQKVSelfAttention(
                 num_heads=self.heads, dtype=self.dtype,
                 name="MultiHeadDotProductAttention_0")(y)
         else:

@@ -90,3 +90,40 @@ def test_encdec_grads_flow_everywhere():
     assert all(np.isfinite(norms))
     # every parameter tensor receives some gradient (skips detect dead paths)
     assert sum(n > 0 for n in norms) >= len(norms) - 2
+
+
+def test_dpt_fused_qkv_param_compatible_and_close():
+    """attention_impl='fused' (one [E,3E] qkv matmul) shares the flax
+    param tree exactly and matches the flax attention numerically."""
+    from ann3depth_tpu.models.dpt import DPTDepthNet
+
+    kw = dict(dim=64, depth=4, heads=2, fusion_features=32,
+              tap_layers=(0, 1, 2, 3), remat=False,
+              compute_dtype=jnp.float32)
+    m_flax = DPTDepthNet(**kw)
+    m_fused = DPTDepthNet(**kw, attention_impl="fused")
+    params = steplib.init_params(m_flax, (32, 32), seed=0)
+    f_params = steplib.init_params(m_fused, (32, 32), seed=0)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(f_params))
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(f_params)[0]):
+        assert p1 == p2 and a.shape == b.shape and a.dtype == b.dtype, (
+            p1, a.shape, b.shape)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+    y_flax = m_flax.apply({"params": params}, x)
+    y_fused = m_fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_flax),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradients flow through every fused-attention parameter
+    def f(p):
+        return jnp.sum(m_fused.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(f)(params)
+    norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(n > 0 for n in norms) >= len(norms) - 2

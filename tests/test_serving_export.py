@@ -94,6 +94,36 @@ def test_encdec_s2d_path_exports(tmp_path):
     assert np.isfinite(got).all()
 
 
+def test_dpt_export_polymorphic():
+    """DPT (ViT attention + jax.image.resize head) serializes and round-
+    trips batch-polymorphically too. export_serving builds the full-size
+    DPT from the registry (too big for a unit test), so this drives the
+    same jax.export machinery on a tiny instance via make_serving_fn."""
+    from jax import export as jax_export
+
+    from ann3depth_tpu.models.dpt import DPTDepthNet
+
+    model = DPTDepthNet(dim=64, depth=4, heads=2, fusion_features=32,
+                        tap_layers=(0, 1, 2, 3), remat=False,
+                        compute_dtype=jnp.float32)
+    params = steplib.init_params(model, (32, 32), seed=0)
+
+    fn = serving.make_serving_fn(model, "dpt", (32, 32))
+    (bdim,) = jax_export.symbolic_shape("batch")
+    img_sds = jax.ShapeDtypeStruct((bdim, *RAW_HW, 3), jnp.uint8)
+    p_sds = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), params)
+    exported = jax_export.export(jax.jit(fn), platforms=["cpu", "tpu"])(
+        p_sds, img_sds)
+    reloaded = jax_export.deserialize(bytearray(exported.serialize()))
+    for b in (1, 2):
+        img = _frames(b, seed=b)
+        got = np.asarray(reloaded.call(params, jnp.asarray(img)))
+        want = np.asarray(jax.jit(fn)(params, jnp.asarray(img)))
+        assert got.shape == (b, 32, 32)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_bf16_params_survive_npz_roundtrip(tmp_path):
     """Non-numpy-native param dtypes are stored as f32 + cast back exactly."""
     cfg = _tiny_cfg()
