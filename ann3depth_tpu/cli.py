@@ -68,6 +68,9 @@ def _resolve(args) -> cfglib.Config:
         data["use_grain"] = True
         data["num_workers"] = args.num_workers
     if getattr(args, "resume", False): train["resume"] = True
+    if getattr(args, "profile", None): train["profile_dir"] = args.profile
+    if getattr(args, "profile_steps", None):
+        train["profile_steps"] = args.profile_steps
     if getattr(args, "tensorboard", False): train["tensorboard"] = True
     if getattr(args, "augment", False): data["augment"] = True
     for section, overrides in (("data", data), ("model", model), ("train", train)):
@@ -89,6 +92,12 @@ def build_parser():
     pt.add_argument("--tensorboard", action="store_true",
                     help="also write TensorBoard event files under workdir/tb")
     pt.add_argument("--workdir", help="metrics/log directory (default: ckpt dir)")
+    pt.add_argument("--profile", metavar="DIR",
+                    help="emit a jax.profiler (TensorBoard/Perfetto) trace of "
+                         "a steady-state window of train steps into DIR")
+    pt.add_argument("--profile-steps", type=int,
+                    help="how many hot-loop steps the trace covers "
+                         "(default 20)")
 
     pe = sub.add_parser("eval", help="evaluate RMSE etc. on the test split")
     _common_flags(pe)

@@ -69,6 +69,12 @@ class TrainConfig:
     tensorboard: bool = False  # also write tf.summary event files
     seed: int = 0
     si_lambda: float = ref.SI_LOSS_LAMBDA
+    # Profiling (SURVEY §5 "Tracing / profiling"): when profile_dir is set,
+    # the train loop wraps a window of hot-loop steps (after compile +
+    # warmup) in a jax.profiler trace -> TensorBoard/Perfetto under
+    # <profile_dir>. Off by default: tracing adds host overhead.
+    profile_dir: str = ""
+    profile_steps: int = 20
 
 
 @dataclasses.dataclass(frozen=True)

@@ -195,16 +195,34 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     # TPU path keeps the fully async pipeline.
     cpu_lockstep = jax.default_backend() == "cpu" and mesh.devices.size > 1
 
+    # Profiler window: skip compile + a few warm steps, then trace
+    # cfg.train.profile_steps of the steady-state hot loop.
+    prof_start = prof_stop = -1
+    if cfg.train.profile_dir:
+        prof_start = min(5, max(0, n_steps - 1))
+        prof_stop = min(prof_start + max(1, cfg.train.profile_steps), n_steps)
+
     metrics = {}
     t0 = time.perf_counter()
     imgs_since = 0
+    profiling = False
     try:
         for i, (img_u8, depth) in enumerate(feed):
+            if i == prof_start:
+                jax.block_until_ready(metrics.get("loss", ()))  # drain warmup
+                jax.profiler.start_trace(cfg.train.profile_dir)
+                profiling = True
             step_no = start_step + i
             state, metrics = steplib.train_step(
                 state, img_u8, depth, rng, **step_kwargs)
             if cpu_lockstep:
                 jax.block_until_ready(metrics["loss"])
+            if i + 1 == prof_stop and profiling:
+                jax.block_until_ready(metrics["loss"])  # capture device work
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info("profiler trace (%d steps) -> %s",
+                         prof_stop - prof_start, cfg.train.profile_dir)
             imgs_since += int(img_u8.shape[0])
 
             if (step_no + 1) % cfg.train.log_every == 0 or i == n_steps - 1:
@@ -250,6 +268,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             if (step_no + 1) % cfg.train.checkpoint_every == 0 or i == n_steps - 1:
                 ckpt.save(step_no + 1, state)
     finally:
+        if profiling:  # loop exited inside the trace window
+            jax.profiler.stop_trace()
         feed.close()
         ckpt.wait()
         ckpt.close()

@@ -151,3 +151,17 @@ def test_cli_train_smoke(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     metrics = json.loads(out)
     assert "loss" in metrics
+
+
+def test_profile_window_emits_trace(tmp_path):
+    """--profile: a steady-state window of train steps lands in a
+    jax.profiler trace directory (SURVEY §5 tracing)."""
+    import glob
+
+    cfg = _smoke_cfg(tmp_path, steps=8, batch_size=2, checkpoint_every=100,
+                     log_every=100, warmup_steps=0,
+                     profile_dir=str(tmp_path / "trace"), profile_steps=2)
+    looplib.train(cfg, workdir=str(tmp_path), progress=False)
+    files = glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+    assert any(f.endswith(".pb") or "trace" in os.path.basename(f)
+               or "xplane" in f for f in files), files
