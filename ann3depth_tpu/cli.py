@@ -30,6 +30,9 @@ def _common_flags(p):
     p.add_argument("--data-dir", help="dataset root directory")
     p.add_argument("--ckpt-dir", help="checkpoint directory")
     p.add_argument("--batch-size", type=int)
+    p.add_argument("--grad-accum", type=int,
+                   help="microbatches per optimizer update (one jitted "
+                        "scan; peak memory = batch_size/grad_accum images)")
     p.add_argument("--steps", type=int)
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--seed", type=int)
@@ -57,6 +60,7 @@ def _resolve(args) -> cfglib.Config:
     if args.data_dir: data["data_dir"] = args.data_dir
     if args.ckpt_dir: train["ckpt_dir"] = args.ckpt_dir
     if args.batch_size is not None: train["batch_size"] = args.batch_size
+    if getattr(args, "grad_accum", None): train["grad_accum"] = args.grad_accum
     if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate: train["learning_rate"] = args.learning_rate
     if args.seed is not None: train["seed"] = args.seed
@@ -157,6 +161,29 @@ def build_parser():
     px.add_argument("--init", action="store_true",
                     help="export random-init params instead of requiring a "
                          "checkpoint (artifact plumbing tests)")
+
+    ps = sub.add_parser(
+        "serve", help="batched depth-serving HTTP server: concurrent "
+        "requests coalesce into device batches (padded to power-of-2 "
+        "buckets, no recompiles); POST npy frames to /v1/depth")
+    _common_flags(ps)
+    ps.add_argument("--artifact",
+                    help="serve an exported artifact directory (from "
+                         "`export`) instead of checkpoint + model code")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8000)
+    ps.add_argument("--max-batch", type=int, default=32,
+                    help="largest coalesced device batch (default 32)")
+    ps.add_argument("--max-delay-ms", type=float, default=5.0,
+                    help="batching window after the first queued request")
+    ps.add_argument("--raw-hw", type=int, nargs=2, default=[480, 640],
+                    metavar=("H", "W"),
+                    help="accepted raw frame shape (checkpoint mode; "
+                         "artifacts carry their own)")
+    ps.add_argument("--init", action="store_true",
+                    help="serve random-init params (smoke/testing)")
+    ps.add_argument("--no-warmup", action="store_true",
+                    help="skip precompiling the batch buckets at startup")
     return p
 
 
@@ -273,6 +300,36 @@ def main(argv=None):
             cfg, state.params, args.out_dir,
             batch=args.serving_batch, raw_hw=tuple(args.raw_hw))
         print(json.dumps(meta))
+        return 0
+
+    if args.mode == "serve":
+        import logging as _logging
+
+        from ann3depth_tpu import server as serverlib
+
+        svc_kw = dict(max_batch=args.max_batch,
+                      max_delay_s=args.max_delay_ms / 1e3)
+        if args.artifact:
+            service = serverlib.service_from_artifact(args.artifact, **svc_kw)
+        else:
+            cfg = _resolve(args)
+            service = serverlib.service_from_config(
+                cfg, init=args.init, raw_hw=tuple(args.raw_hw), **svc_kw)
+        if not args.no_warmup:
+            _logging.getLogger(__name__).info(
+                "warming up %d batch buckets...", len(
+                    serverlib._buckets(args.max_batch)))
+            service.warmup()
+        srv = serverlib.DepthServer(service, host=args.host, port=args.port)
+        print(json.dumps({"listening": f"http://{args.host}:{srv.port}",
+                          "raw_hw": list(service.raw_hw),
+                          "max_batch": service.max_batch}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.close()
         return 0
 
     if args.mode == "download":

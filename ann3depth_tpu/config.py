@@ -58,6 +58,14 @@ class ModelConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     batch_size: int = 16
+    # >1: split each global batch into grad_accum sequential microbatches
+    # inside ONE jitted step (lax.scan accumulates mean grads + metric
+    # stats, one optimizer update). Peak activation memory = one
+    # microbatch, so effective batches beyond HBM train without host
+    # round-trips; equal to a full-batch step up to f32 reassociation
+    # (tests/test_grad_accum.py). batch_size % grad_accum == 0, and the
+    # microbatch must divide the mesh's data axis.
+    grad_accum: int = 1
     steps: int = 1000
     learning_rate: float = ref.DEFAULT_LEARNING_RATE
     warmup_steps: int = 100

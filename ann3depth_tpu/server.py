@@ -1,0 +1,302 @@
+"""Batched depth-serving server: request queue -> coalesced device batches.
+
+Production-serving completeness beyond `serving.py`'s AOT artifact (the
+reference's serving story stopped at "load the checkpoint in Python",
+SURVEY.md §1 L5): this module turns either an in-process jitted serving
+program or a loaded `serving.py` artifact into a concurrent service —
+
+  HTTP POST /v1/depth  (npy uint8 frame[s])  ->  npy f32 depth map[s]
+
+TPU-shaped batching policy:
+- Requests are coalesced by a single dispatch thread: the first waiter
+  starts a batch window; up to `max_batch` frames are collected for at
+  most `max_delay_s`, then run as ONE device program. Single-stream
+  latency stays one window + one program; concurrent load rides the MXU's
+  batch efficiency (bench_infer: 29.1k img/s at b128 vs 16.7k at b32).
+- Batches are padded up to a power-of-2 BUCKET (1,2,4,...,max_batch) so
+  XLA compiles a handful of programs once instead of one per arrival
+  count — dynamic shapes don't exist on this path by construction.
+  `warmup()` precompiles every bucket before serving traffic.
+- One dispatch thread owns the device: requests never contend for the
+  TPU, and HTTP threads only block on their own future.
+
+The serving fn contract matches serving.ServingModel / make_serving_fn:
+fn(img_u8[B,H,W,3]) -> depth[B,h,w] f32, any (bucketed) B.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _buckets(max_batch: int):
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
+class BatchingService:
+    """Coalesce concurrent single-frame requests into device batches."""
+
+    def __init__(self, fn, raw_hw, *, max_batch=32, max_delay_s=0.005):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self._fn = fn
+        self.raw_hw = tuple(raw_hw)
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_s)
+        self._q: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._batch_sizes: deque = deque(maxlen=1000)
+        self._latencies: deque = deque(maxlen=1000)
+        self._n_requests = 0
+        self._n_batches = 0
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="depth-batcher")
+        self._thread.start()
+
+    # -- client side ------------------------------------------------------
+
+    def submit(self, frame: np.ndarray) -> Future:
+        """Enqueue one [H,W,3] uint8 frame; returns a Future of [h,w] f32
+        depth. Submitting several frames before awaiting any lets them
+        coalesce into one device batch."""
+        frame = np.ascontiguousarray(frame)
+        if frame.shape != (*self.raw_hw, 3) or frame.dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 frame of shape {(*self.raw_hw, 3)}, got "
+                f"{frame.dtype} {frame.shape}")
+        if self._closed:
+            raise RuntimeError("service is closed")
+        fut: Future = Future()
+        self._q.put((frame, fut, time.perf_counter()))
+        return fut
+
+    def predict(self, frame: np.ndarray, timeout: float = 30.0) -> np.ndarray:
+        """One [H,W,3] uint8 frame -> [h,w] f32 depth (blocks)."""
+        return self.submit(frame).result(timeout=timeout)
+
+    def warmup(self):
+        """Compile every batch bucket before taking traffic (the first
+        request at each bucket otherwise pays its XLA compile)."""
+        zero = np.zeros((*self.raw_hw, 3), np.uint8)
+        for b in _buckets(self.max_batch):
+            self._fn(np.broadcast_to(zero, (b, *zero.shape)).copy())
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            hist: dict = {}
+            for b in self._batch_sizes:
+                hist[b] = hist.get(b, 0) + 1
+            return {
+                "requests": self._n_requests,
+                "batches": self._n_batches,
+                "batch_size_hist": {str(k): v for k, v in sorted(hist.items())},
+                "latency_p50_ms": 1e3 * lat[len(lat) // 2] if lat else None,
+                "latency_p99_ms": (1e3 * lat[max(0, int(len(lat) * 0.99) - 1)]
+                                   if lat else None),
+                "max_batch": self.max_batch,
+                "max_delay_ms": 1e3 * self.max_delay_s,
+            }
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    # -- dispatch thread --------------------------------------------------
+
+    def _collect(self):
+        """Block for the first request, then soak up to max_batch for at
+        most max_delay_s. Returns [] at shutdown."""
+        first = self._q.get()
+        if first is None:
+            return []
+        items = [first]
+        deadline = time.perf_counter() + self.max_delay_s
+        while len(items) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-signal shutdown for the outer loop
+                break
+            items.append(nxt)
+        return items
+
+    def _run(self):
+        while True:
+            items = self._collect()
+            if not items:
+                return
+            frames = np.stack([f for f, _, _ in items])
+            n = len(items)
+            bucket = next(b for b in _buckets(self.max_batch) if b >= n)
+            if bucket > n:  # pad with the first frame (any valid content)
+                pad = np.broadcast_to(frames[0], (bucket - n, *frames.shape[1:]))
+                frames = np.concatenate([frames, pad])
+            try:
+                depth = np.asarray(self._fn(frames))[:n]
+            except Exception as e:  # propagate to every waiter, keep serving
+                for _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            now = time.perf_counter()
+            for i, (_, fut, t0) in enumerate(items):
+                if not fut.done():
+                    fut.set_result(depth[i])
+            with self._lock:
+                self._n_requests += n
+                self._n_batches += 1
+                self._batch_sizes.append(n)
+                self._latencies.extend(now - t0 for _, _, t0 in items)
+
+
+# -- wiring: config/checkpoint or artifact -> serving fn -------------------
+
+def service_from_artifact(artifact_dir, **kw) -> BatchingService:
+    """Serve a `serving.py` exported artifact (no model code needed)."""
+    from ann3depth_tpu import serving
+
+    model = serving.load_serving(artifact_dir)
+    raw_hw = model.meta["raw_hw"]
+    return BatchingService(model.predict, raw_hw, **kw)
+
+
+def service_from_config(cfg, *, ckpt_dir=None, init=False, raw_hw=(480, 640),
+                        **kw) -> BatchingService:
+    """Serve the in-process jitted program (registry model + checkpoint).
+
+    init=True serves freshly initialized params (smoke/testing).
+    """
+    import jax
+
+    from ann3depth_tpu import serving
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.train import step as steplib
+
+    model = registry.build(cfg.model)
+    params = steplib.init_params(model, cfg.data.input_hw,
+                                 seed=cfg.train.seed)
+    if not init:
+        from ann3depth_tpu.train.checkpoint import CheckpointManager
+
+        tx = steplib.make_optimizer(cfg.train.learning_rate)
+        state = steplib.TrainState.create(model.apply, params, tx)
+        ckpt = CheckpointManager(ckpt_dir or cfg.train.ckpt_dir)
+        state, restored = ckpt.restore(state)
+        ckpt.close()
+        if restored is None:
+            raise RuntimeError(f"no checkpoint in {ckpt_dir or cfg.train.ckpt_dir}")
+        params = state.params
+    fn = jax.jit(serving.make_serving_fn(model, cfg.model.name,
+                                         cfg.data.input_hw))
+
+    def predict(img_u8):
+        return np.asarray(fn(params, img_u8))
+
+    return BatchingService(predict, raw_hw, **kw)
+
+
+# -- HTTP front end --------------------------------------------------------
+
+def _make_handler(service: BatchingService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet; stats live at /v1/stats
+            pass
+
+        def _send(self, code, body: bytes, ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send_json(200, {"ok": True})
+            elif self.path == "/v1/stats":
+                self._send_json(200, service.stats())
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/depth":
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                arr = np.load(io.BytesIO(self.rfile.read(n)),
+                              allow_pickle=False)
+            except Exception as e:
+                self._send_json(400, {"error": f"bad npy body: {e}"})
+                return
+            single = arr.ndim == 3
+            frames = arr[None] if single else arr
+            try:
+                if frames.ndim != 4:
+                    raise ValueError(f"expected [B,H,W,3] or [H,W,3] uint8, "
+                                     f"got shape {arr.shape}")
+                # Each frame goes through the shared batcher so concurrent
+                # clients coalesce; a multi-frame body is just N requests
+                # (all submitted before any is awaited).
+                futs = [service.submit(f) for f in frames]
+                depth = np.stack([f.result(timeout=30.0) for f in futs])
+            except ValueError as e:
+                self._send_json(400, {"error": str(e)})
+                return
+            out = io.BytesIO()
+            np.save(out, depth[0] if single else depth)
+            self._send(200, out.getvalue())
+
+    return Handler
+
+
+class DepthServer:
+    """ThreadingHTTPServer wrapper around a BatchingService."""
+
+    def __init__(self, service: BatchingService, host="127.0.0.1", port=0):
+        self.service = service
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+        self.port = self.httpd.server_address[1]
+        self._thread = None
+
+    def serve_background(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True, name="depth-http")
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.service.close()

@@ -94,6 +94,13 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     if cfg.train.batch_size <= 0:
         raise ValueError(
             f"batch_size must be positive, got {cfg.train.batch_size}")
+    accum = cfg.train.grad_accum
+    if accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {accum}")
+    if cfg.train.batch_size % accum:
+        raise ValueError(
+            f"batch_size={cfg.train.batch_size} is not divisible by "
+            f"grad_accum={accum}")
     if cfg.data.cache_device and (cfg.data.use_grain
                                   or len(cfg.data.datasets) > 1):
         raise ValueError(
@@ -107,7 +114,9 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         # keep working on any host.
         devices = jax.devices()
         n_data = len(devices)
-        while cfg.train.batch_size % n_data:
+        # With grad_accum the unit that must split over devices is the
+        # microbatch (each scan iteration shards over "data").
+        while (cfg.train.batch_size // accum) % n_data:
             n_data -= 1
         if n_data < len(devices):
             log.warning(
@@ -116,11 +125,11 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         mesh = meshlib.create_mesh(devices[:n_data])
     else:
         n_data = mesh.shape.get("data", 1)
-        if cfg.train.batch_size % n_data:
+        if (cfg.train.batch_size // accum) % n_data:
             raise ValueError(
-                f"global batch_size={cfg.train.batch_size} is not divisible "
-                f"by the mesh's {n_data}-way data axis; raise the batch "
-                "size or pass a smaller mesh")
+                f"microbatch {cfg.train.batch_size}//{accum} is not "
+                f"divisible by the mesh's {n_data}-way data axis; raise "
+                "the batch size or pass a smaller mesh")
     # An explicitly passed dataset overrides the config's dataset list;
     # otherwise every configured dataset trains (batch-interleaved).
     extra_datasets = []
@@ -186,7 +195,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                        # XLA preprocess emits the stem's s2d layout directly
                        # for models that accept it (+~5% step time, encdec).
                        emit_s2d=0 if _use_pallas(cfg)
-                       else registry.s2d_input_factor(cfg.model.name))
+                       else registry.s2d_input_factor(cfg.model.name),
+                       grad_accum=accum)
     # XLA:CPU's in-process collective rendezvous can starve when many
     # async-dispatched steps are in flight on a host with few cores (each
     # waiting participant blocks a pool thread; rendezvous.cc aborts after

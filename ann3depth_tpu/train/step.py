@@ -66,15 +66,31 @@ def loss_fn(params, apply_fn, images, depths, si_lambda):
     return loss, pred_log
 
 
+def _to_microbatches(x, accum):
+    """[A*m, ...] -> [A, m, ...] with microbatch j = x[j::accum].
+
+    Interleaved (strided) split, not contiguous blocks: under DP sharding
+    of the global batch axis each device's shard contributes m/n contiguous
+    rows to EVERY microbatch, so the reshape+swap stays device-local (no
+    resharding collective). A contiguous split would put whole microbatches
+    on device subsets and force an all-to-all per step.
+    """
+    m = x.shape[0] // accum
+    x = x.reshape(m, accum, *x.shape[1:])
+    return jnp.swapaxes(x, 0, 1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("input_hw", "target_hw", "si_lambda", "augment",
-                     "use_pallas", "resize_precision", "emit_s2d"),
+                     "use_pallas", "resize_precision", "emit_s2d",
+                     "grad_accum"),
     donate_argnames=("state",),
 )
 def train_step(state: TrainState, img_u8, depth_raw, rng, *,
                input_hw, target_hw, si_lambda=0.5, augment=False,
-               use_pallas=False, resize_precision="default", emit_s2d=0):
+               use_pallas=False, resize_precision="default", emit_s2d=0,
+               grad_accum=1):
     """One fused device step: preprocess -> fwd -> bwd -> update.
 
     img_u8:    [B, H, W, 3] raw uint8 frames (any source size)
@@ -89,10 +105,24 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
     emit_s2d: nonzero -> the XLA preprocess emits the pre-space-to-depth
       bf16 layout the encdec stem consumes directly (no relayout copies;
       pipeline/preprocess.preprocess_batch). encdec-family models only.
+    grad_accum: >1 -> one optimizer update from `grad_accum` sequential
+      microbatches of B/grad_accum images, still ONE XLA program: a
+      lax.scan accumulates mean gradients and metric sufficient statistics,
+      then the update runs once. Peak activation memory is that of a
+      microbatch, so effective batches beyond HBM capacity train without
+      host round-trips. Equal (up to f32 reassociation) to a single
+      full-batch step; metrics are exact full-batch values (stats are
+      summed across microbatches and finalized once).
     """
-    key = jax.random.fold_in(rng, state.step) if augment else None
     prec = (jax.lax.Precision.HIGHEST if resize_precision == "highest"
             else jax.lax.Precision.DEFAULT)
+    if grad_accum > 1:
+        return _train_step_accum(
+            state, img_u8, depth_raw, rng, input_hw=input_hw,
+            target_hw=target_hw, si_lambda=si_lambda, augment=augment,
+            use_pallas=use_pallas, prec=prec, emit_s2d=emit_s2d,
+            grad_accum=grad_accum)
+    key = jax.random.fold_in(rng, state.step) if augment else None
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=key,
         use_pallas=use_pallas, precision=prec, emit_s2d=emit_s2d)
@@ -107,6 +137,64 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
         "loss": loss,
         "grad_norm": optax.global_norm(grads),
         "rmse": losses.depth_metrics(pred_log, depths)["rmse"],
+    }
+    return state.replace(step=state.step + 1, params=new_params,
+                         opt_state=new_opt_state), metrics
+
+
+def _train_step_accum(state, img_u8, depth_raw, rng, *, input_hw, target_hw,
+                      si_lambda, augment, use_pallas, prec, emit_s2d,
+                      grad_accum):
+    """Gradient-accumulation body (see train_step docstring). Traced under
+    train_step's jit; grad_accum is static there."""
+    if img_u8.shape[0] % grad_accum:
+        raise ValueError(
+            f"global batch {img_u8.shape[0]} is not divisible by "
+            f"grad_accum={grad_accum}")
+    m = img_u8.shape[0] // grad_accum
+    imgs = _to_microbatches(img_u8, grad_accum)
+    deps = _to_microbatches(depth_raw, grad_accum)
+    base_key = jax.random.fold_in(rng, state.step) if augment else None
+
+    zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype),
+                              state.params)
+    # Stats carry structure from an abstract eval of one microbatch's stats
+    # (all f32 scalars; si_lambda included so `loss` finalizes to the mean
+    # per-image Eigen loss over the full effective batch, same as accum=1).
+    stats_fn = functools.partial(losses.depth_metric_stats,
+                                 si_lambda=si_lambda)
+    zero_stats = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(stats_fn,
+                       jax.ShapeDtypeStruct((m, *target_hw, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((m, *target_hw), jnp.float32)))
+
+    def micro(carry, xs):
+        gacc, sacc = carry
+        img, dep, idx = xs
+        key = jax.random.fold_in(base_key, idx) if augment else None
+        images, depths = preprocess.preprocess_batch(
+            img, dep, input_hw, target_hw, key=key,
+            use_pallas=use_pallas, precision=prec, emit_s2d=emit_s2d)
+        grads, pred_log = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.apply_fn, images, depths, si_lambda)
+        sacc = jax.tree.map(jnp.add, sacc, stats_fn(pred_log, depths))
+        return (jax.tree.map(jnp.add, gacc, grads), sacc), None
+
+    (gacc, stats), _ = jax.lax.scan(
+        micro, (zero_grads, zero_stats),
+        (imgs, deps, jnp.arange(grad_accum)))
+    grads = jax.tree.map(lambda g: g / grad_accum, gacc)
+
+    updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    fin = losses.finalize_depth_metrics(stats)
+    metrics = {
+        "loss": fin["loss"],
+        "grad_norm": optax.global_norm(grads),
+        "rmse": fin["rmse"],
     }
     return state.replace(step=state.step + 1, params=new_params,
                          opt_state=new_opt_state), metrics
