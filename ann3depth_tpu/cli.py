@@ -102,6 +102,15 @@ def build_parser():
     pt.add_argument("--profile-steps", type=int,
                     help="how many hot-loop steps the trace covers "
                          "(default 20)")
+    pt.add_argument("--multihost", action="store_true",
+                    help="join a jax.distributed cluster with auto-detected "
+                         "coordination (TPU pod metadata); one process per "
+                         "host, mesh over all hosts' chips")
+    pt.add_argument("--coordinator", metavar="HOST:PORT",
+                    help="explicit jax.distributed coordinator (use with "
+                         "--num-processes/--process-id; implies --multihost)")
+    pt.add_argument("--num-processes", type=int)
+    pt.add_argument("--process-id", type=int)
 
     pe = sub.add_parser("eval", help="evaluate RMSE etc. on the test split")
     _common_flags(pe)
@@ -220,10 +229,18 @@ def main(argv=None):
     _default_compile_cache()
 
     if args.mode == "train":
+        if getattr(args, "multihost", False) or getattr(args, "coordinator",
+                                                        None):
+            from ann3depth_tpu.parallel import multihost
+            multihost.initialize(coordinator=args.coordinator,
+                                 num_processes=args.num_processes,
+                                 process_id=args.process_id)
         from ann3depth_tpu.train import loop
         cfg = _resolve(args)
         _, metrics = loop.train(cfg, workdir=args.workdir)
-        print(json.dumps({k: float(v) for k, v in metrics.items()}))
+        import jax
+        if jax.process_index() == 0:
+            print(json.dumps({k: float(v) for k, v in metrics.items()}))
         return 0
 
     if args.mode == "eval":

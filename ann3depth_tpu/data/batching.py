@@ -52,6 +52,34 @@ def interleave_batches(datasets, batch_size: int, *,
                     return
 
 
+class ProcessShardView:
+    """Process p's deterministic strided slice [p::n] of a dataset — the
+    multi-host data partition (parallel/multihost.py). Striding (not
+    contiguous blocks) keeps per-process example counts within 1 of each
+    other for any dataset size; each process shuffles its own shard
+    (shard-local shuffle, the same trade recorded for the HBM-resident
+    cache in docs/design.md §4c)."""
+
+    def __init__(self, dataset, process_index: int, process_count: int):
+        if not 0 <= process_index < process_count:
+            raise ValueError(
+                f"process_index {process_index} not in [0, {process_count})")
+        self._ds = dataset
+        self._p = process_index
+        self._n = process_count
+
+    def __len__(self):
+        return (len(self._ds) - self._p + self._n - 1) // self._n
+
+    def __getitem__(self, i):
+        return self._ds[self._p + i * self._n]
+
+    def batches(self, batch_size, *, steps=None, shuffle=True, seed=0,
+                drop_remainder=True):
+        return iter_batches(self, batch_size, steps=steps, shuffle=shuffle,
+                            seed=seed, drop_remainder=drop_remainder)
+
+
 def iter_batches(dataset, batch_size: int, *, steps: Optional[int] = None,
                  shuffle: bool = True, seed: int = 0,
                  drop_remainder: bool = True) -> Iterator:

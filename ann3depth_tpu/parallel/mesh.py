@@ -78,5 +78,12 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    On a multi-process mesh device_put cannot address remote shards;
+    replication goes through make_array_from_callback instead (every
+    process holds the same host values — parallel/multihost.py)."""
+    if jax.process_count() > 1:
+        from ann3depth_tpu.parallel import multihost
+        return multihost.replicate_global(tree, replicated(mesh))
     return jax.device_put(tree, replicated(mesh))

@@ -42,6 +42,13 @@ class DeviceFeed:
 
     def _put_device(self, batch):
         if self._sharding is not None:
+            if jax.process_count() > 1:
+                # Multi-host: this process's local rows -> its shards of
+                # the global batch array (device_put cannot address the
+                # other hosts' shards; parallel/multihost.py).
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        self._sharding, x), batch)
             return jax.tree.map(
                 lambda x: jax.device_put(x, self._sharding), batch)
         return jax.tree.map(jax.device_put, batch)

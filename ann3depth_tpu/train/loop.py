@@ -85,6 +85,17 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     cfg.train.ckpt_dir and continues the step counter (SURVEY §5).
     """
     workdir = workdir or cfg.train.ckpt_dir
+    nproc = jax.process_count()
+    proc0 = jax.process_index() == 0
+    if nproc > 1 and (cfg.data.cache_device or cfg.data.use_grain
+                      or len(cfg.data.datasets) > 1):
+        raise ValueError(
+            "multi-host training currently supports the built-in feed on "
+            "one dataset; drop --cache-device/--use-grain/extra datasets")
+    if nproc > 1 and cfg.train.batch_size % nproc:
+        raise ValueError(
+            f"global batch_size={cfg.train.batch_size} is not divisible by "
+            f"{nproc} processes")
     if cfg.model.quant != "none":
         raise ValueError(
             f"model.quant={cfg.model.quant!r} is a serving-only path "
@@ -114,14 +125,23 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         # keep working on any host.
         devices = jax.devices()
         n_data = len(devices)
-        # With grad_accum the unit that must split over devices is the
-        # microbatch (each scan iteration shards over "data").
-        while (cfg.train.batch_size // accum) % n_data:
-            n_data -= 1
-        if n_data < len(devices):
-            log.warning(
-                "batch_size=%d not divisible by %d devices; training on "
-                "%d device(s)", cfg.train.batch_size, len(devices), n_data)
+        if nproc > 1:
+            # Multi-host: the mesh must span every process's devices (a
+            # subset would leave processes without a role in the SPMD
+            # program); require divisibility instead of auto-shrinking.
+            if (cfg.train.batch_size // accum) % n_data:
+                raise ValueError(
+                    f"microbatch {cfg.train.batch_size}//{accum} is not "
+                    f"divisible by the {n_data} global devices")
+        else:
+            # With grad_accum the unit that must split over devices is the
+            # microbatch (each scan iteration shards over "data").
+            while (cfg.train.batch_size // accum) % n_data:
+                n_data -= 1
+            if n_data < len(devices):
+                log.warning(
+                    "batch_size=%d not divisible by %d devices; training on "
+                    "%d device(s)", cfg.train.batch_size, len(devices), n_data)
         mesh = meshlib.create_mesh(devices[:n_data])
     else:
         n_data = mesh.shape.get("data", 1)
@@ -137,6 +157,14 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         dataset = build_dataset(cfg, "train")
         extra_datasets = [build_dataset(cfg, "train", name=n)
                           for n in cfg.data.datasets[1:]]
+    # Multi-host: each process reads its strided shard of the dataset and
+    # feeds batch_size/nproc rows per step; DeviceFeed assembles the global
+    # batch from the per-process shards (parallel/multihost.py).
+    feed_batch_size = cfg.train.batch_size
+    if nproc > 1:
+        from ann3depth_tpu.data.batching import ProcessShardView
+        dataset = ProcessShardView(dataset, jax.process_index(), nproc)
+        feed_batch_size = cfg.train.batch_size // nproc
 
     state = create_state(cfg, mesh)
     ckpt = CheckpointManager(cfg.train.ckpt_dir)
@@ -147,14 +175,23 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             start_step = int(state.step)
             log.info("resumed from checkpoint at step %d", start_step)
 
-    writer = MetricsWriter(workdir)
+    # Metrics/TB/viz writers live on process 0 only (multi-host: every
+    # process computes identical replicated metrics; one writes).
+    writer = MetricsWriter(workdir) if proc0 else None
+    progress = progress and proc0
     tb = None
-    if cfg.train.tensorboard:
+    if cfg.train.tensorboard and proc0:
         from ann3depth_tpu.utils.tb_writer import TensorBoardWriter
         tb = TensorBoardWriter(os.path.join(workdir, "tb"))
     eval_ds = None  # built lazily at the first eval point
     sharding = meshlib.batch_sharding(mesh)
-    rng = jax.random.key(cfg.train.seed)
+    if nproc > 1:
+        # multi-process jit rejects process-local arrays; the key must be
+        # a global replicated array (parallel/multihost.py).
+        from ann3depth_tpu.parallel import multihost
+        rng = multihost.replicated_key(cfg.train.seed, mesh)
+    else:
+        rng = jax.random.key(cfg.train.seed)
 
     n_steps = cfg.train.steps - start_step
     if cfg.data.cache_device:
@@ -182,7 +219,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                                        cfg.train.batch_size, steps=n_steps,
                                        seed=cfg.train.seed + start_step)
     else:
-        host_iter = dataset.batches(cfg.train.batch_size, steps=n_steps,
+        host_iter = dataset.batches(feed_batch_size, steps=n_steps,
                                     seed=cfg.train.seed + start_step)
     if not cfg.data.cache_device:
         feed = DeviceFeed(host_iter, sharding=sharding,
@@ -246,7 +283,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                         "rate or inspect the data batch")
                 dt = time.perf_counter() - t0
                 ips = imgs_since / dt if dt > 0 else 0.0
-                writer.write(step_no + 1, metrics, images_per_sec=ips)
+                if writer is not None:
+                    writer.write(step_no + 1, metrics, images_per_sec=ips)
                 if tb is not None:
                     tb.write_scalars(step_no + 1,
                                      {**metrics, "images_per_sec": ips})
@@ -263,13 +301,18 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 # the CLI's full-split numbers in convergence studies.
                 em = evaluate(cfg, state=state, dataset=eval_ds,
                               max_batches=4, mesh=mesh)
-                writer.write(step_no + 1,
-                             {**{f"eval_{k}": v for k, v in em.items()},
-                              "eval_batches": 4})
+                if writer is not None:
+                    writer.write(step_no + 1,
+                                 {**{f"eval_{k}": v for k, v in em.items()},
+                                  "eval_batches": 4})
                 if tb is not None:
                     tb.write_scalars(step_no + 1,
                                      {f"eval/{k}": v for k, v in em.items()})
-                _write_viz(cfg, state, eval_ds, workdir, step_no + 1, tb)
+                if nproc == 1:
+                    # viz runs eager multi-device programs; on multi-host
+                    # that would need all-process lockstep for a debug
+                    # image — reconstruct from checkpoints instead.
+                    _write_viz(cfg, state, eval_ds, workdir, step_no + 1, tb)
                 if progress:
                     log.info("eval @%d rmse=%.3f abs_rel=%.3f", step_no + 1,
                              em["rmse"], em["abs_rel"])
@@ -283,7 +326,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         feed.close()
         ckpt.wait()
         ckpt.close()
-        writer.close()
+        if writer is not None:
+            writer.close()
         if tb is not None:
             tb.close()
     return state, metrics
@@ -323,13 +367,35 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     from ann3depth_tpu.train import losses
 
     dataset = dataset or build_dataset(cfg, "test")
+    nproc = jax.process_count()
     if mesh is None:
         devices = jax.devices()
         n_data = len(devices)
-        while cfg.train.batch_size % n_data:
-            n_data -= 1
+        if nproc > 1:
+            if cfg.train.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size={cfg.train.batch_size} not divisible by "
+                    f"the {n_data} global devices")
+        else:
+            while cfg.train.batch_size % n_data:
+                n_data -= 1
         mesh = meshlib.create_mesh(devices[:n_data])
     sharding = meshlib.batch_sharding(mesh)
+    eval_batch_size = cfg.train.batch_size
+    if nproc > 1:
+        # Each process streams its strided shard; every process must run
+        # the SAME number of collective eval steps, so bound by the
+        # smallest shard (= len//nproc examples).
+        from ann3depth_tpu.data.batching import ProcessShardView
+        if cfg.train.batch_size % nproc:
+            raise ValueError(
+                f"batch_size={cfg.train.batch_size} not divisible by "
+                f"{nproc} processes")
+        eval_batch_size = cfg.train.batch_size // nproc
+        common = (len(dataset) // nproc) // eval_batch_size
+        max_batches = common if max_batches is None else min(max_batches,
+                                                             common)
+        dataset = ProcessShardView(dataset, jax.process_index(), nproc)
     if state is None:
         state = create_state(cfg, mesh)
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
@@ -344,10 +410,15 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     # per-batch device_get costs ~25 ms.
     totals = {}
     for b, (img_u8, depth) in enumerate(
-            dataset.batches(cfg.train.batch_size, steps=max_batches,
+            dataset.batches(eval_batch_size, steps=max_batches,
                             shuffle=False)):
-        img_u8, depth = (jax.device_put(img_u8, sharding),
-                         jax.device_put(depth, sharding))
+        if nproc > 1:
+            from ann3depth_tpu.parallel import multihost
+            img_u8, depth = multihost.global_batch_from_local(
+                (img_u8, depth), sharding)
+        else:
+            img_u8, depth = (jax.device_put(img_u8, sharding),
+                             jax.device_put(depth, sharding))
         stats = steplib.eval_stats_step(
             state, img_u8, depth,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),

@@ -1,0 +1,121 @@
+"""Multi-host (multi-process) DP training (parallel/multihost.py): two CPU
+processes x 4 fake devices each form one 8-device global mesh with gloo
+cross-process collectives; loop.train runs the standard jitted step over
+it, each process feeding its strided dataset shard."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = """
+import dataclasses, json, sys
+from ann3depth_tpu.parallel import multihost
+multihost.initialize(coordinator="127.0.0.1:" + sys.argv[2],
+                     num_processes=2, process_id=int(sys.argv[1]))
+import jax
+from ann3depth_tpu.config import get_config
+from ann3depth_tpu.train import loop
+
+cfg = get_config("smoke")
+cfg = dataclasses.replace(
+    cfg,
+    train=dataclasses.replace(cfg.train, batch_size=8, steps=6,
+                              ckpt_dir=sys.argv[3], checkpoint_every=5,
+                              log_every=2, eval_every=3),
+)
+state, metrics = loop.train(cfg, workdir=sys.argv[4], progress=False)
+print("RESULT " + json.dumps({
+    "proc": jax.process_index(),
+    "nproc": jax.process_count(),
+    "ndev": len(jax.devices()),
+    "loss": float(metrics["loss"]),
+    "step": int(state.step),
+}), flush=True)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_training_lockstep(tmp_path):
+    from conftest import cpu_child_env
+
+    port = str(_free_port())
+    ckpt = str(tmp_path / "ckpt")
+    wds = [str(tmp_path / f"wd{i}") for i in (0, 1)]
+    env = cpu_child_env(
+        XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(i), port, ckpt, wds[i]],
+            env=env, cwd=cwd, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for i in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out (collective deadlock?)")
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"no RESULT line in: {out!r}"
+        r = json.loads(line[0][len("RESULT "):])
+        results[r["proc"]] = r
+
+    assert set(results) == {0, 1}
+    for r in results.values():
+        assert r["nproc"] == 2
+        assert r["ndev"] == 8          # global mesh spans both processes
+        assert r["step"] == 6
+        assert np.isfinite(r["loss"])
+    # Params are replicated through the global psum: both controllers must
+    # observe the identical final loss (bitwise — same program, same data).
+    assert results[0]["loss"] == results[1]["loss"]
+
+    # Writers are process-0-only; checkpoints exist (both processes save
+    # through orbax into the shared dir).
+    assert os.path.exists(os.path.join(wds[0], "metrics.jsonl"))
+    assert not os.path.exists(os.path.join(wds[1], "metrics.jsonl"))
+    assert any(d.isdigit() for d in os.listdir(ckpt))
+
+
+def test_process_shard_view_partitions_everything_once():
+    from ann3depth_tpu.data.batching import ProcessShardView
+
+    class _DS:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            assert 0 <= i < 11
+            return i
+
+    views = [ProcessShardView(_DS(), p, 3) for p in range(3)]
+    assert [len(v) for v in views] == [4, 4, 3]
+    seen = sorted(x for v in views for x in (v[i] for i in range(len(v))))
+    assert seen == list(range(11))  # disjoint, complete
+
+
+def test_process_shard_view_rejects_bad_index():
+    from ann3depth_tpu.data.batching import ProcessShardView
+
+    with pytest.raises(ValueError, match="process_index"):
+        ProcessShardView([], 3, 3)
