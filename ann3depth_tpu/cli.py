@@ -33,6 +33,10 @@ def _common_flags(p):
     p.add_argument("--grad-accum", type=int,
                    help="microbatches per optimizer update (one jitted "
                         "scan; peak memory = batch_size/grad_accum images)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state over the data axis (ZeRO-1: "
+                        "reduce-scattered grads, 1/N Adam state per device, "
+                        "all-gathered params)")
     p.add_argument("--steps", type=int)
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--seed", type=int)
@@ -61,6 +65,7 @@ def _resolve(args) -> cfglib.Config:
     if args.ckpt_dir: train["ckpt_dir"] = args.ckpt_dir
     if args.batch_size is not None: train["batch_size"] = args.batch_size
     if getattr(args, "grad_accum", None): train["grad_accum"] = args.grad_accum
+    if getattr(args, "zero1", False): train["zero1"] = True
     if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate: train["learning_rate"] = args.learning_rate
     if args.seed is not None: train["seed"] = args.seed
@@ -273,7 +278,7 @@ def main(argv=None):
         cfg = _resolve(args)
         state = loop.create_state(cfg)
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
-        state, restored = ckpt.restore(state)
+        state, restored = ckpt.restore_params(state)
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
@@ -307,7 +312,7 @@ def main(argv=None):
         state = loop.create_state(cfg)
         if not args.init:
             ckpt = CheckpointManager(cfg.train.ckpt_dir)
-            state, restored = ckpt.restore(state)
+            state, restored = ckpt.restore_params(state)
             ckpt.close()
             if restored is None:
                 raise RuntimeError(

@@ -66,6 +66,12 @@ class TrainConfig:
     # (tests/test_grad_accum.py). batch_size % grad_accum == 0, and the
     # microbatch must divide the mesh's data axis.
     grad_accum: int = 1
+    # ZeRO-1 optimizer-state sharding (parallel/zero1.py): grads
+    # reduce-scattered into 1/N chunks, Adam on the local chunk only,
+    # params all-gathered — same per-step bytes as replicated DP, 1/N
+    # optimizer memory + update FLOPs. Same warmup/cosine schedule as the
+    # replicated path. Exclusive with grad_accum>1 and quant.
+    zero1: bool = False
     steps: int = 1000
     learning_rate: float = ref.DEFAULT_LEARNING_RATE
     warmup_steps: int = 100

@@ -39,7 +39,7 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
         state = looplib.create_state(cfg)
         from ann3depth_tpu.train.checkpoint import CheckpointManager
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
-        state, restored = ckpt.restore(state)
+        state, restored = ckpt.restore_params(state)
         ckpt.close()
         if restored is None:
             log.warning("no checkpoint in %s — running with random weights",

@@ -203,7 +203,7 @@ def service_from_config(cfg, *, ckpt_dir=None, init=False, raw_hw=(480, 640),
         tx = steplib.make_optimizer(cfg.train.learning_rate)
         state = steplib.TrainState.create(model.apply, params, tx)
         ckpt = CheckpointManager(ckpt_dir or cfg.train.ckpt_dir)
-        state, restored = ckpt.restore(state)
+        state, restored = ckpt.restore_params(state)
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {ckpt_dir or cfg.train.ckpt_dir}")

@@ -49,6 +49,25 @@ class CheckpointManager:
                               opt_state=restored["opt_state"])
         return state, step
 
+    def restore_params(self, state):
+        """Restore only step+params from the latest checkpoint, whatever
+        optimizer layout it was trained with.
+
+        Eval/infer/export/serve need params only; a template restore would
+        couple them to the trainer's opt_state structure (replicated Adam
+        vs ZeRO-1's sharded flat chunks). Template-free StandardRestore
+        yields the raw saved tree; params subtrees are plain dicts, so the
+        tuple-vs-list metadata caveat that forces template restores for
+        opt_state does not apply.
+        """
+        step = self.latest_step()
+        if step is None:
+            return state, None
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        state = state.replace(step=jax.numpy.asarray(restored["step"]),
+                              params=restored["params"])
+        return state, step
+
     def wait(self):
         self._mgr.wait_until_finished()
 

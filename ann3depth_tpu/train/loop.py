@@ -112,6 +112,10 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             f"batch_size={cfg.train.batch_size} is not divisible by "
             f"grad_accum={accum}")
+    if cfg.train.zero1 and accum > 1:
+        raise ValueError(
+            "zero1 with grad_accum is not wired; pick one (ZeRO-1 shards "
+            "optimizer memory, grad_accum shards activation memory)")
     if cfg.data.cache_device and (cfg.data.use_grain
                                   or len(cfg.data.datasets) > 1):
         raise ValueError(
@@ -166,7 +170,37 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         dataset = ProcessShardView(dataset, jax.process_index(), nproc)
         feed_batch_size = cfg.train.batch_size // nproc
 
-    state = create_state(cfg, mesh)
+    zstep = None
+    if cfg.train.zero1:
+        # ZeRO-1: sharded optimizer state + explicit collectives
+        # (parallel/zero1.py), same TrainState facade so checkpointing,
+        # eval, and the loop body below stay identical. The facade's
+        # tx=None marks "optimizer lives inside zstep".
+        import jax.numpy as jnp
+
+        from ann3depth_tpu.parallel import zero1 as zero1lib
+
+        if _use_pallas(cfg):
+            log.warning("preprocess_impl='pallas' is ignored under zero1 "
+                        "(its step uses the XLA preprocess)")
+        model = registry.build(cfg.model)
+        host_params = steplib.init_params(model, cfg.data.input_hw,
+                                          seed=cfg.train.seed)
+        init_fn, zstep = zero1lib.make_zero1_train_step(
+            mesh, model.apply, host_params,
+            input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
+            si_lambda=cfg.train.si_lambda, augment=cfg.data.augment,
+            resize_precision="default",
+            learning_rate=steplib.make_schedule(
+                cfg.train.learning_rate, cfg.train.warmup_steps,
+                cfg.train.steps))
+        params = meshlib.replicate(host_params, mesh)
+        state = steplib.TrainState(
+            step=meshlib.replicate(jnp.zeros((), jnp.int32), mesh),
+            params=params, opt_state=init_fn(params),
+            tx=None, apply_fn=model.apply)
+    else:
+        state = create_state(cfg, mesh)
     ckpt = CheckpointManager(cfg.train.ckpt_dir)
     start_step = 0
     if cfg.train.resume:
@@ -260,8 +294,13 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 jax.profiler.start_trace(cfg.train.profile_dir)
                 profiling = True
             step_no = start_step + i
-            state, metrics = steplib.train_step(
-                state, img_u8, depth, rng, **step_kwargs)
+            if zstep is not None:
+                p, o, s, metrics = zstep(state.params, state.opt_state,
+                                         state.step, img_u8, depth, rng)
+                state = state.replace(params=p, opt_state=o, step=s)
+            else:
+                state, metrics = steplib.train_step(
+                    state, img_u8, depth, rng, **step_kwargs)
             if cpu_lockstep:
                 jax.block_until_ready(metrics["loss"])
             if i + 1 == prof_stop and profiling:
@@ -399,7 +438,9 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     if state is None:
         state = create_state(cfg, mesh)
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
-        state, restored = ckpt.restore(state)
+        # params-only restore: works for checkpoints from any trainer
+        # (replicated Adam or --zero1's sharded opt layout)
+        state, restored = ckpt.restore_params(state)
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")

@@ -45,14 +45,21 @@ class TrainState(struct.PyTreeNode):
                    opt_state=tx.init(params), tx=tx, apply_fn=apply_fn)
 
 
+def make_schedule(learning_rate, warmup_steps=0, total_steps=None):
+    """Linear warmup + cosine decay schedule (or the constant lr).
+
+    Shared by the replicated optimizer below and the ZeRO-1 path
+    (parallel/zero1.py) so --zero1 trains on the same schedule."""
+    if warmup_steps and total_steps:
+        return optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
+    return learning_rate
+
+
 def make_optimizer(learning_rate, warmup_steps=0, total_steps=None,
                    b1=0.9, b2=0.999, weight_decay=0.0, clip_norm=1.0):
     """AdamW with linear warmup + cosine decay; global-norm clipped."""
-    if warmup_steps and total_steps:
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
-    else:
-        sched = learning_rate
+    sched = make_schedule(learning_rate, warmup_steps, total_steps)
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay),
