@@ -37,6 +37,9 @@ def _common_flags(p):
                    help="shard optimizer state over the data axis (ZeRO-1: "
                         "reduce-scattered grads, 1/N Adam state per device, "
                         "all-gathered params)")
+    p.add_argument("--ema-decay", type=float,
+                   help="maintain an EMA of params in the train step "
+                        "(e.g. 0.999); eval --ema scores it")
     p.add_argument("--steps", type=int)
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--seed", type=int)
@@ -66,6 +69,7 @@ def _resolve(args) -> cfglib.Config:
     if args.batch_size is not None: train["batch_size"] = args.batch_size
     if getattr(args, "grad_accum", None): train["grad_accum"] = args.grad_accum
     if getattr(args, "zero1", False): train["zero1"] = True
+    if getattr(args, "ema_decay", None): train["ema_decay"] = args.ema_decay
     if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate: train["learning_rate"] = args.learning_rate
     if args.seed is not None: train["seed"] = args.seed
@@ -120,6 +124,9 @@ def build_parser():
     pe = sub.add_parser("eval", help="evaluate RMSE etc. on the test split")
     _common_flags(pe)
     pe.add_argument("--max-batches", type=int)
+    pe.add_argument("--ema", action="store_true",
+                    help="score the EMA (Polyak-averaged) weights from a "
+                         "checkpoint trained with --ema-decay")
 
     pl = sub.add_parser("live", help="continuous depth view from camera/video")
     _common_flags(pl)
@@ -251,7 +258,8 @@ def main(argv=None):
     if args.mode == "eval":
         from ann3depth_tpu.train import loop
         cfg = _resolve(args)
-        metrics = loop.evaluate(cfg, max_batches=args.max_batches)
+        metrics = loop.evaluate(cfg, max_batches=args.max_batches,
+                                use_ema=args.ema)
         print(json.dumps(metrics))
         return 0
 

@@ -72,6 +72,10 @@ class TrainConfig:
     # optimizer memory + update FLOPs. Same warmup/cosine schedule as the
     # replicated path. Exclusive with grad_accum>1 and quant.
     zero1: bool = False
+    # >0: maintain an exponential moving average of params inside the
+    # jitted step (classic Polyak averaging; 0.999-ish). The EMA tree is
+    # checkpointed alongside params; evaluate/CLI eval --ema score it.
+    ema_decay: float = 0.0
     steps: int = 1000
     learning_rate: float = ref.DEFAULT_LEARNING_RATE
     warmup_steps: int = 100

@@ -25,9 +25,12 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state) -> None:
-        """Save params/opt_state/step (the pytree leaves of TrainState)."""
+        """Save params/opt_state/step (the pytree leaves of TrainState);
+        ema_params ride along when the trainer maintains them."""
         payload = {"step": state.step, "params": state.params,
                    "opt_state": state.opt_state}
+        if getattr(state, "ema_params", None) is not None:
+            payload["ema_params"] = state.ema_params
         self._mgr.save(int(step), args=ocp.args.StandardSave(payload))
 
     def latest_step(self) -> Optional[int]:
@@ -43,13 +46,18 @@ class CheckpointManager:
             return state, None
         template = {"step": state.step, "params": state.params,
                     "opt_state": state.opt_state}
+        has_ema = getattr(state, "ema_params", None) is not None
+        if has_ema:
+            template["ema_params"] = state.ema_params
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template))
         state = state.replace(step=restored["step"], params=restored["params"],
                               opt_state=restored["opt_state"])
+        if has_ema:
+            state = state.replace(ema_params=restored["ema_params"])
         return state, step
 
-    def restore_params(self, state):
+    def restore_params(self, state, use_ema: bool = False):
         """Restore only step+params from the latest checkpoint, whatever
         optimizer layout it was trained with.
 
@@ -64,8 +72,15 @@ class CheckpointManager:
         if step is None:
             return state, None
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        params = restored["params"]
+        if use_ema:
+            if "ema_params" not in restored:
+                raise ValueError(
+                    f"checkpoint {step} in {self.dir} has no ema_params — "
+                    "it was trained without ema_decay")
+            params = restored["ema_params"]
         state = state.replace(step=jax.numpy.asarray(restored["step"]),
-                              params=restored["params"])
+                              params=params)
         return state, step
 
     def wait(self):

@@ -71,7 +71,8 @@ def create_state(cfg: Config, mesh=None):
     params = steplib.init_params(model, cfg.data.input_hw, seed=cfg.train.seed)
     tx = steplib.make_optimizer(
         cfg.train.learning_rate, cfg.train.warmup_steps, cfg.train.steps)
-    state = steplib.TrainState.create(model.apply, params, tx)
+    state = steplib.TrainState.create(model.apply, params, tx,
+                                      ema=cfg.train.ema_decay > 0)
     if mesh is not None:
         state = meshlib.replicate(state, mesh)
     return state
@@ -116,6 +117,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             "zero1 with grad_accum is not wired; pick one (ZeRO-1 shards "
             "optimizer memory, grad_accum shards activation memory)")
+    if cfg.train.zero1 and cfg.train.ema_decay > 0:
+        raise ValueError("ema_decay is not wired into the zero1 step")
     if cfg.data.cache_device and (cfg.data.use_grain
                                   or len(cfg.data.datasets) > 1):
         raise ValueError(
@@ -267,7 +270,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                        # for models that accept it (+~5% step time, encdec).
                        emit_s2d=0 if _use_pallas(cfg)
                        else registry.s2d_input_factor(cfg.model.name),
-                       grad_accum=accum)
+                       grad_accum=accum, ema_decay=cfg.train.ema_decay)
     # XLA:CPU's in-process collective rendezvous can starve when many
     # async-dispatched steps are in flight on a host with few cores (each
     # waiting participant blocks a pool thread; rendezvous.cc aborts after
@@ -394,7 +397,7 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
 
 
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
-             mesh=None):
+             mesh=None, use_ema=False):
     """Eval loop: accumulate global sufficient statistics over the test
     split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
     error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
@@ -439,8 +442,9 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
         state = create_state(cfg, mesh)
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
         # params-only restore: works for checkpoints from any trainer
-        # (replicated Adam or --zero1's sharded opt layout)
-        state, restored = ckpt.restore_params(state)
+        # (replicated Adam or --zero1's sharded opt layout); use_ema scores
+        # the Polyak-averaged weights instead
+        state, restored = ckpt.restore_params(state, use_ema=use_ema)
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")

@@ -31,18 +31,26 @@ from ann3depth_tpu.train import losses
 
 
 class TrainState(struct.PyTreeNode):
-    """Minimal functional train state (params + opt state + step)."""
+    """Minimal functional train state (params + opt state + step).
+
+    ema_params (optional): exponential moving average of params, updated
+    inside the jitted step when the loop enables it (TrainConfig.ema_decay
+    > 0). None (the default) keeps the pytree shape of ema-less
+    checkpoints unchanged.
+    """
 
     step: jnp.ndarray
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Any = struct.field(pytree_node=False)
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, apply_fn, params, tx):
+    def create(cls, apply_fn, params, tx, ema: bool = False):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=tx.init(params), tx=tx, apply_fn=apply_fn)
+                   opt_state=tx.init(params), tx=tx, apply_fn=apply_fn,
+                   ema_params=jax.tree.map(jnp.copy, params) if ema else None)
 
 
 def make_schedule(learning_rate, warmup_steps=0, total_steps=None):
@@ -87,17 +95,25 @@ def _to_microbatches(x, accum):
     return jnp.swapaxes(x, 0, 1)
 
 
+def _ema_update(state, new_params, ema_decay):
+    """EMA of params after the optimizer step (no-op when disabled)."""
+    if state.ema_params is None or not ema_decay:
+        return state.ema_params
+    return jax.tree.map(lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                        state.ema_params, new_params)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("input_hw", "target_hw", "si_lambda", "augment",
                      "use_pallas", "resize_precision", "emit_s2d",
-                     "grad_accum"),
+                     "grad_accum", "ema_decay"),
     donate_argnames=("state",),
 )
 def train_step(state: TrainState, img_u8, depth_raw, rng, *,
                input_hw, target_hw, si_lambda=0.5, augment=False,
                use_pallas=False, resize_precision="default", emit_s2d=0,
-               grad_accum=1):
+               grad_accum=1, ema_decay=0.0):
     """One fused device step: preprocess -> fwd -> bwd -> update.
 
     img_u8:    [B, H, W, 3] raw uint8 frames (any source size)
@@ -128,7 +144,7 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
             state, img_u8, depth_raw, rng, input_hw=input_hw,
             target_hw=target_hw, si_lambda=si_lambda, augment=augment,
             use_pallas=use_pallas, prec=prec, emit_s2d=emit_s2d,
-            grad_accum=grad_accum)
+            grad_accum=grad_accum, ema_decay=ema_decay)
     key = jax.random.fold_in(rng, state.step) if augment else None
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=key,
@@ -146,12 +162,14 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
         "rmse": losses.depth_metrics(pred_log, depths)["rmse"],
     }
     return state.replace(step=state.step + 1, params=new_params,
-                         opt_state=new_opt_state), metrics
+                         opt_state=new_opt_state,
+                         ema_params=_ema_update(state, new_params,
+                                                ema_decay)), metrics
 
 
 def _train_step_accum(state, img_u8, depth_raw, rng, *, input_hw, target_hw,
                       si_lambda, augment, use_pallas, prec, emit_s2d,
-                      grad_accum):
+                      grad_accum, ema_decay=0.0):
     """Gradient-accumulation body (see train_step docstring). Traced under
     train_step's jit; grad_accum is static there."""
     if img_u8.shape[0] % grad_accum:
@@ -204,7 +222,9 @@ def _train_step_accum(state, img_u8, depth_raw, rng, *, input_hw, target_hw,
         "rmse": fin["rmse"],
     }
     return state.replace(step=state.step + 1, params=new_params,
-                         opt_state=new_opt_state), metrics
+                         opt_state=new_opt_state,
+                         ema_params=_ema_update(state, new_params,
+                                                ema_decay)), metrics
 
 
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",

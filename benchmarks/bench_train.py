@@ -141,6 +141,11 @@ def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
     }
     assert loss_scan == loss_scan, "NaN loss in scan benchmark"
     flopslib.attach_mfu(result, step_fl, scan_steps_total, dt_scan)
+    if cfg.train.grad_accum > 1:
+        # XLA cost analysis counts the microbatch scan body ONCE, so the
+        # numerator misses (accum-1)/accum of the real FLOPs here.
+        result["mfu_note"] = ("undercounted for grad_accum>1; "
+                              "exp_grad_accum.py corrects from the accum=1 row")
     flopslib.attach_memory(result)
     if record:
         with open(RESULTS, "a") as f:
