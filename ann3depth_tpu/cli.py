@@ -144,6 +144,8 @@ def build_parser():
                     help="where <stem>_depth.npy and <stem>_depth.png go")
     pi.add_argument("--no-png", action="store_true",
                     help="skip the colormapped PNG, write only the .npy")
+    pi.add_argument("--ema", action="store_true",
+                    help="use the EMA weights from the checkpoint")
 
     pd = sub.add_parser("download", help="fetch + extract datasets")
     pd.add_argument("--dataset", required=True, choices=["make3d", "nyu"])
@@ -205,6 +207,8 @@ def build_parser():
                     help="serve random-init params (smoke/testing)")
     ps.add_argument("--no-warmup", action="store_true",
                     help="skip precompiling the batch buckets at startup")
+    ps.add_argument("--ema", action="store_true",
+                    help="serve the EMA weights from the checkpoint")
     return p
 
 
@@ -286,7 +290,7 @@ def main(argv=None):
         cfg = _resolve(args)
         state = loop.create_state(cfg)
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
-        state, restored = ckpt.restore_params(state)
+        state, restored = ckpt.restore_params(state, use_ema=args.ema)
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
@@ -344,7 +348,8 @@ def main(argv=None):
         else:
             cfg = _resolve(args)
             service = serverlib.service_from_config(
-                cfg, init=args.init, raw_hw=tuple(args.raw_hw), **svc_kw)
+                cfg, init=args.init, raw_hw=tuple(args.raw_hw),
+                use_ema=args.ema, **svc_kw)
         if not args.no_warmup:
             _logging.getLogger(__name__).info(
                 "warming up %d batch buckets...", len(

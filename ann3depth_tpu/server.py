@@ -183,10 +183,11 @@ def service_from_artifact(artifact_dir, **kw) -> BatchingService:
 
 
 def service_from_config(cfg, *, ckpt_dir=None, init=False, raw_hw=(480, 640),
-                        **kw) -> BatchingService:
+                        use_ema=False, **kw) -> BatchingService:
     """Serve the in-process jitted program (registry model + checkpoint).
 
-    init=True serves freshly initialized params (smoke/testing).
+    init=True serves freshly initialized params (smoke/testing);
+    use_ema serves the checkpoint's Polyak-averaged weights.
     """
     import jax
 
@@ -203,7 +204,7 @@ def service_from_config(cfg, *, ckpt_dir=None, init=False, raw_hw=(480, 640),
         tx = steplib.make_optimizer(cfg.train.learning_rate)
         state = steplib.TrainState.create(model.apply, params, tx)
         ckpt = CheckpointManager(ckpt_dir or cfg.train.ckpt_dir)
-        state, restored = ckpt.restore_params(state)
+        state, restored = ckpt.restore_params(state, use_ema=use_ema)
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {ckpt_dir or cfg.train.ckpt_dir}")

@@ -67,7 +67,8 @@ def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
               use_pallas=use_pallas,
               emit_s2d=0 if use_pallas
               else registry.s2d_input_factor(cfg.model.name),
-              grad_accum=cfg.train.grad_accum)
+              grad_accum=cfg.train.grad_accum,
+              ema_decay=cfg.train.ema_decay)
 
     # FLOPs of the compiled step from XLA's own cost analysis (MFU
     # numerator; benchmarks/flops.py). Lower() with the pre-warmup live

@@ -50,9 +50,10 @@ def _device_pool(ds):
 @functools.partial(
     jax.jit, donate_argnames=("state",),
     static_argnames=("input_hw", "target_hw", "si_lambda", "augment",
-                     "emit_s2d"))
+                     "emit_s2d", "ema_decay"))
 def _pool_train_step(state, pool_img, pool_dep, idx, rng, *, input_hw,
-                     target_hw, si_lambda, augment, emit_s2d):
+                     target_hw, si_lambda, augment, emit_s2d,
+                     ema_decay=0.0):
     """Gather a batch from the HBM pool and run the fused train step —
     one device program per step, no host feed."""
     from ann3depth_tpu.train import step as steplib
@@ -61,11 +62,12 @@ def _pool_train_step(state, pool_img, pool_dep, idx, rng, *, input_hw,
     dep = pool_dep[idx]
     return steplib.train_step.__wrapped__(
         state, img, dep, rng, input_hw=input_hw, target_hw=target_hw,
-        si_lambda=si_lambda, augment=augment, emit_s2d=emit_s2d)
+        si_lambda=si_lambda, augment=augment, emit_s2d=emit_s2d,
+        ema_decay=ema_decay)
 
 
 def _train_on_pool(model, cfg, pool, steps, batch, emit_s2d, seed=0,
-                   log_every=200):
+                   log_every=200, ema_decay=0.0):
     import jax
 
     from ann3depth_tpu.train import step as steplib
@@ -77,7 +79,8 @@ def _train_on_pool(model, cfg, pool, steps, batch, emit_s2d, seed=0,
     params = steplib.init_params(model, input_hw, seed=seed)
     tx = steplib.make_optimizer(cfg.train.learning_rate,
                                 cfg.train.warmup_steps, steps)
-    state = steplib.TrainState.create(model.apply, params, tx)
+    state = steplib.TrainState.create(model.apply, params, tx,
+                                      ema=ema_decay > 0)
     pool_img, pool_dep = pool
     n = pool_img.shape[0]
     rng = jax.random.key(seed)
@@ -90,7 +93,8 @@ def _train_on_pool(model, cfg, pool, steps, batch, emit_s2d, seed=0,
         state, metrics = _pool_train_step(
             state, pool_img, pool_dep, idx, rng, input_hw=input_hw,
             target_hw=target_hw, si_lambda=cfg.train.si_lambda,
-            augment=cfg.data.augment, emit_s2d=emit_s2d)
+            augment=cfg.data.augment, emit_s2d=emit_s2d,
+            ema_decay=ema_decay)
         if (i + 1) % log_every == 0 or i == steps - 1:
             m = jax.device_get(metrics)
             curve.append({"step": i + 1, "loss": round(float(m["loss"]), 5),
