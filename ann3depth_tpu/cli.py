@@ -67,9 +67,11 @@ def _resolve(args) -> cfglib.Config:
     if args.data_dir: data["data_dir"] = args.data_dir
     if args.ckpt_dir: train["ckpt_dir"] = args.ckpt_dir
     if args.batch_size is not None: train["batch_size"] = args.batch_size
-    if getattr(args, "grad_accum", None): train["grad_accum"] = args.grad_accum
+    if getattr(args, "grad_accum", None) is not None:
+        train["grad_accum"] = args.grad_accum
     if getattr(args, "zero1", False): train["zero1"] = True
-    if getattr(args, "ema_decay", None): train["ema_decay"] = args.ema_decay
+    if getattr(args, "ema_decay", None) is not None:
+        train["ema_decay"] = args.ema_decay
     if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate: train["learning_rate"] = args.learning_rate
     if args.seed is not None: train["seed"] = args.seed
@@ -344,6 +346,11 @@ def main(argv=None):
         svc_kw = dict(max_batch=args.max_batch,
                       max_delay_s=args.max_delay_ms / 1e3)
         if args.artifact:
+            if args.ema:
+                raise SystemExit(
+                    "--ema has no effect with --artifact: the artifact's "
+                    "weights were baked at export time (export from the "
+                    "EMA checkpoint instead)")
             service = serverlib.service_from_artifact(args.artifact, **svc_kw)
         else:
             cfg = _resolve(args)

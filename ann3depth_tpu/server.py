@@ -32,7 +32,7 @@ import queue
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -48,11 +48,21 @@ def _buckets(max_batch: int):
 
 
 class BatchingService:
-    """Coalesce concurrent single-frame requests into device batches."""
+    """Coalesce concurrent single-frame requests into device batches.
 
-    def __init__(self, fn, raw_hw, *, max_batch=32, max_delay_s=0.005):
+    fixed_batch: pad EVERY dispatch to exactly this size (single bucket) —
+    required when the serving fn only accepts one batch shape, e.g. an
+    artifact exported with --serving-batch N.
+    """
+
+    def __init__(self, fn, raw_hw, *, max_batch=32, max_delay_s=0.005,
+                 fixed_batch=None):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if fixed_batch is not None:
+            max_batch = int(fixed_batch)
+        self._buckets = ([int(fixed_batch)] if fixed_batch is not None
+                         else _buckets(max_batch))
         self._fn = fn
         self.raw_hw = tuple(raw_hw)
         self.max_batch = int(max_batch)
@@ -93,7 +103,7 @@ class BatchingService:
         """Compile every batch bucket before taking traffic (the first
         request at each bucket otherwise pays its XLA compile)."""
         zero = np.zeros((*self.raw_hw, 3), np.uint8)
-        for b in _buckets(self.max_batch):
+        for b in self._buckets:
             self._fn(np.broadcast_to(zero, (b, *zero.shape)).copy())
 
     def stats(self) -> dict:
@@ -117,6 +127,16 @@ class BatchingService:
         self._closed = True
         self._q.put(None)
         self._thread.join(timeout=5)
+        # A submit() racing close() can land after the shutdown sentinel
+        # (its _closed check passed first); without this drain that future
+        # never resolves and its client blocks until the result timeout.
+        try:
+            while True:
+                item = self._q.get_nowait()
+                if item is not None and not item[1].done():
+                    item[1].set_exception(RuntimeError("service is closed"))
+        except queue.Empty:
+            pass
 
     # -- dispatch thread --------------------------------------------------
 
@@ -149,7 +169,7 @@ class BatchingService:
                 return
             frames = np.stack([f for f, _, _ in items])
             n = len(items)
-            bucket = next(b for b in _buckets(self.max_batch) if b >= n)
+            bucket = next(b for b in self._buckets if b >= n)
             if bucket > n:  # pad with the first frame (any valid content)
                 pad = np.broadcast_to(frames[0], (bucket - n, *frames.shape[1:]))
                 frames = np.concatenate([frames, pad])
@@ -174,11 +194,25 @@ class BatchingService:
 # -- wiring: config/checkpoint or artifact -> serving fn -------------------
 
 def service_from_artifact(artifact_dir, **kw) -> BatchingService:
-    """Serve a `serving.py` exported artifact (no model code needed)."""
+    """Serve a `serving.py` exported artifact (no model code needed).
+
+    A fixed-batch artifact (exported with --serving-batch N) only accepts
+    that one input shape, so the service pins every dispatch to it; the
+    default batch-polymorphic artifact uses the normal bucket ladder.
+    """
+    import logging
+
     from ann3depth_tpu import serving
 
     model = serving.load_serving(artifact_dir)
     raw_hw = model.meta["raw_hw"]
+    fixed = model.meta.get("batch")
+    if fixed is not None:
+        if kw.get("max_batch") not in (None, fixed):
+            logging.getLogger(__name__).warning(
+                "artifact was exported with fixed batch %d; overriding "
+                "max_batch=%s", fixed, kw["max_batch"])
+        kw = {**kw, "max_batch": fixed, "fixed_batch": fixed}
     return BatchingService(model.predict, raw_hw, **kw)
 
 
@@ -195,14 +229,19 @@ def service_from_config(cfg, *, ckpt_dir=None, init=False, raw_hw=(480, 640),
     from ann3depth_tpu.models import registry
     from ann3depth_tpu.train import step as steplib
 
+    import jax.numpy as jnp
+
     model = registry.build(cfg.model)
     params = steplib.init_params(model, cfg.data.input_hw,
                                  seed=cfg.train.seed)
     if not init:
         from ann3depth_tpu.train.checkpoint import CheckpointManager
 
-        tx = steplib.make_optimizer(cfg.train.learning_rate)
-        state = steplib.TrainState.create(model.apply, params, tx)
+        # restore_params is template-free, so a bare params facade is
+        # enough — no optimizer construction / throwaway opt_state here.
+        state = steplib.TrainState(step=jnp.zeros((), jnp.int32),
+                                   params=params, opt_state=None,
+                                   tx=None, apply_fn=model.apply)
         ckpt = CheckpointManager(ckpt_dir or cfg.train.ckpt_dir)
         state, restored = ckpt.restore_params(state, use_ema=use_ema)
         ckpt.close()
@@ -269,6 +308,16 @@ def _make_handler(service: BatchingService):
                 depth = np.stack([f.result(timeout=30.0) for f in futs])
             except ValueError as e:
                 self._send_json(400, {"error": str(e)})
+                return
+            except FuturesTimeoutError:
+                self._send_json(503, {"error": "inference timed out "
+                                               "(device overloaded?)"})
+                return
+            except RuntimeError as e:  # e.g. "service is closed"
+                self._send_json(503, {"error": str(e)})
+                return
+            except Exception as e:  # device failure surfaced via the future
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             out = io.BytesIO()
             np.save(out, depth[0] if single else depth)

@@ -22,6 +22,10 @@ class CheckpointManager:
             self.dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, enable_async_checkpointing=True),
+            # Register the handler up front: a fresh manager otherwise
+            # returns item_metadata(step).tree=None until the first
+            # save/restore supplies args, which _has_key relies on.
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     def save(self, step: int, state) -> None:
@@ -46,16 +50,41 @@ class CheckpointManager:
             return state, None
         template = {"step": state.step, "params": state.params,
                     "opt_state": state.opt_state}
-        has_ema = getattr(state, "ema_params", None) is not None
-        if has_ema:
-            template["ema_params"] = state.ema_params
+        want_ema = getattr(state, "ema_params", None) is not None
+        # StandardRestore demands an EXACT structural match with the saved
+        # tree, so the template must mirror what the CHECKPOINT contains —
+        # not what this run wants. --ema-decay toggled between runs would
+        # otherwise hard-fail the resume in both directions.
+        ckpt_has_ema = self._has_key(step, "ema_params")
+        if ckpt_has_ema:
+            # params-shaped by construction; restore into a params-shaped
+            # template even if this run doesn't use EMA (discarded below).
+            template["ema_params"] = (state.ema_params if want_ema
+                                      else state.params)
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template))
         state = state.replace(step=restored["step"], params=restored["params"],
                               opt_state=restored["opt_state"])
-        if has_ema:
-            state = state.replace(ema_params=restored["ema_params"])
+        if want_ema:
+            if ckpt_has_ema:
+                state = state.replace(ema_params=restored["ema_params"])
+            else:
+                # EMA newly enabled mid-training: re-seed from the restored
+                # params (the average restarts at the resume point). Must
+                # be a REAL copy — aliasing params would donate the same
+                # buffer twice in the train step.
+                state = state.replace(ema_params=jax.tree.map(
+                    jax.numpy.copy, restored["params"]))
         return state, step
+
+    def _has_key(self, step: int, key: str) -> bool:
+        """Whether the saved tree at `step` contains top-level `key`."""
+        try:
+            meta = self._mgr.item_metadata(step)
+            tree = getattr(meta, "tree", meta)
+            return key in tree
+        except Exception:
+            return False
 
     def restore_params(self, state, use_ema: bool = False):
         """Restore only step+params from the latest checkpoint, whatever
@@ -67,6 +96,13 @@ class CheckpointManager:
         yields the raw saved tree; params subtrees are plain dicts, so the
         tuple-vs-list metadata caveat that forces template restores for
         opt_state does not apply.
+
+        Known tradeoff: this deserializes the whole saved tree (Adam
+        moments + optional EMA ≈ 3x the param bytes) and discards the
+        rest — StandardRestore rejects subset templates, and a
+        transforms-based partial restore isn't worth the complexity at
+        these model sizes (encdec 2M / DPT 24M params; the extra trees
+        are freed on return). Revisit if checkpoints reach pod scale.
         """
         step = self.latest_step()
         if step is None:

@@ -101,6 +101,34 @@ def test_eval_ema_on_emaless_checkpoint_raises(tmp_path):
         loop.evaluate(cfg, max_batches=1, use_ema=True)
 
 
+@pytest.mark.slow
+def test_resume_survives_ema_flag_toggle(tmp_path):
+    """--ema-decay toggled between runs must not break resume in either
+    direction (StandardRestore demands exact structure; the template must
+    mirror the CHECKPOINT, not the new run's config)."""
+    from ann3depth_tpu.train import loop
+
+    def cfg_with(steps, decay, resume):
+        cfg = get_config("smoke")
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, batch_size=2, steps=steps, ema_decay=decay,
+                resume=resume, ckpt_dir=str(tmp_path / "c"),
+                checkpoint_every=100, eval_every=0))
+
+    # train WITHOUT ema, resume WITH: EMA re-seeds from restored params
+    loop.train(cfg_with(3, 0.0, False), workdir=str(tmp_path),
+               progress=False)
+    state, _ = loop.train(cfg_with(5, 0.9, True), workdir=str(tmp_path),
+                          progress=False)
+    assert int(state.step) == 5 and state.ema_params is not None
+
+    # resume WITHOUT ema a checkpoint that HAS it: extra tree is dropped
+    state, _ = loop.train(cfg_with(7, 0.0, True), workdir=str(tmp_path),
+                          progress=False)
+    assert int(state.step) == 7 and state.ema_params is None
+
+
 def test_cli_parses_ema_flags():
     from ann3depth_tpu.cli import build_parser, _resolve
 

@@ -129,6 +129,33 @@ def test_fn_error_propagates_and_service_survives(service):
     np.testing.assert_allclose(service.predict(f), _ref_fn(f[None])[0])
 
 
+def test_fixed_batch_pads_every_dispatch():
+    """fixed_batch (fixed-batch exported artifacts) pins all dispatches —
+    including warmup — to exactly that shape."""
+    sizes = []
+
+    def spy(frames):
+        sizes.append(frames.shape[0])
+        return _ref_fn(frames)
+
+    svc = serverlib.BatchingService(spy, RAW_HW, fixed_batch=4)
+    try:
+        svc.warmup()
+        f = _frame(3)
+        np.testing.assert_allclose(svc.predict(f), _ref_fn(f[None])[0])
+        assert set(sizes) == {4}
+        assert svc.max_batch == 4
+    finally:
+        svc.close()
+
+
+def test_closed_service_rejects_and_post_close_futures_fail():
+    svc = serverlib.BatchingService(_ref_fn, RAW_HW, max_batch=2)
+    svc.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.predict(_frame(0))
+
+
 def test_warmup_hits_every_bucket():
     sizes = []
 
