@@ -334,7 +334,8 @@ def main(argv=None):
                     "export random-init params")
         meta = serving.export_serving(
             cfg, state.params, args.out_dir,
-            batch=args.serving_batch, raw_hw=tuple(args.raw_hw))
+            batch=args.serving_batch, raw_hw=tuple(args.raw_hw),
+            config_name=args.config)
         print(json.dumps(meta))
         return 0
 
@@ -408,12 +409,19 @@ def main(argv=None):
             raise SystemExit(
                 "--quant int8 is serving-only; pass --serving for the "
                 "inference bench or drop --quant for the training bench")
+        try:
+            from benchmarks import bench_infer, bench_train
+        except ImportError:
+            # benchmarks/ is repo tooling, deliberately not shipped in the
+            # wheel; every other subcommand works from an install.
+            raise SystemExit(
+                "the bench subcommand needs the repository checkout "
+                "(benchmarks/ is not part of the installed package); run "
+                "from a clone or `pip install -e .`")
         if args.serving:
-            from benchmarks import bench_infer
             print(json.dumps(bench_infer.run(
                 cfg, batch=args.batch_size or 32)))
         else:
-            from benchmarks import bench_train
             print(json.dumps(bench_train.run(cfg)))
         return 0
 

@@ -87,24 +87,29 @@ class FusedQKVSelfAttention(nn.Module):
 
         # flax nests q/k/v/out as DenseGeneral submodule scopes; a tiny
         # inner module reproduces those exact param paths (the
-        # ops/quant.QMultiHeadAttention pattern).
+        # ops/quant.QMultiHeadAttention pattern). Init must match
+        # DenseGeneral's fan computation (ops/quant.dense_general_init):
+        # bare lecun_normal on an (E,H,D) kernel mis-scales by ~sqrt(h).
+        from ann3depth_tpu.ops.quant import dense_general_init
+
         class _P(nn.Module):
             shape: tuple
             bias_shape: tuple
+            contract: str
 
             @nn.compact
             def __call__(self_inner):
                 kern = self_inner.param(
-                    "kernel", nn.initializers.lecun_normal(),
+                    "kernel", dense_general_init(self_inner.contract),
                     self_inner.shape, jnp.float32)
                 bias = self_inner.param(
                     "bias", nn.initializers.zeros, self_inner.bias_shape,
                     jnp.float32)
                 return kern, bias
 
-        qk, qb = _P((e, h, d), (h, d), name="query")()
-        kk, kb = _P((e, h, d), (h, d), name="key")()
-        vk, vb = _P((e, h, d), (h, d), name="value")()
+        qk, qb = _P((e, h, d), (h, d), "in", name="query")()
+        kk, kb = _P((e, h, d), (h, d), "in", name="key")()
+        vk, vb = _P((e, h, d), (h, d), "in", name="value")()
 
         dt = self.dtype
         wqkv = jnp.concatenate(
@@ -122,7 +127,7 @@ class FusedQKVSelfAttention(nn.Module):
         w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
         o = jnp.einsum("bhqk,bkhd->bqhd", w, v)
 
-        ok, ob = _P((h, d, e), (e,), name="out")()
+        ok, ob = _P((h, d, e), (e,), "out", name="out")()
         out = o.reshape(b, t, e) @ ok.reshape(e, e).astype(dt)
         return out + ob.astype(dt)
 

@@ -30,6 +30,24 @@ import jax
 import jax.numpy as jnp
 
 
+def dense_general_init(contract: str):
+    """Kernel init matching flax DenseGeneral's fan computation for the
+    MHA projection shapes. Bare lecun_normal misreads an (E, H, D) kernel
+    (default in_axis=-2 -> fan_in H*E instead of E), mis-scaling
+    from-scratch init by ~sqrt(heads); DenseGeneral computes fan from the
+    contracted axes, which this reproduces.
+
+    contract="in": (E, H, D), fan_in = E. "out": (H, D, E), fan_in = H*D.
+    """
+    if contract == "in":
+        in_axis, out_axis = 0, (1, 2)
+    else:
+        in_axis, out_axis = (0, 1), 2
+    return jax.nn.initializers.variance_scaling(
+        1.0, "fan_in", "truncated_normal", in_axis=in_axis,
+        out_axis=out_axis)
+
+
 def quantize_sym(x, axis=None, bits=8):
     """Symmetric linear quantization -> (int8 values, f32 scale).
 
@@ -117,13 +135,13 @@ class QMultiHeadAttention(nn.Module):
         # flax nests q/k/v/out as DenseGeneral submodule scopes; a tiny
         # inner module reproduces those exact param paths.
         class _Proj(nn.Module):
-            shape: tuple
+            shape: tuple  # init via dense_general_init (fan-in = E resp. H*D)
             bias_shape: tuple
 
             @nn.compact
             def __call__(self_inner, x, contract):
                 kernel = self_inner.param(
-                    "kernel", nn.initializers.lecun_normal(),
+                    "kernel", dense_general_init(contract),
                     self_inner.shape, jnp.float32)
                 bias = self_inner.param(
                     "bias", nn.initializers.zeros, self_inner.bias_shape,

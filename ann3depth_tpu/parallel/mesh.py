@@ -47,6 +47,35 @@ def create_mesh_2d(n_data: int, n_model: int,
     return Mesh(arr, (DATA_AXIS, "model"))
 
 
+def auto_data_mesh(unit_batch: int) -> Mesh:
+    """Widest 1-D data mesh that divides `unit_batch` (the per-step unit
+    that shards over "data" — the microbatch when grad_accum>1).
+
+    Single policy shared by train() and evaluate() so the two can never
+    silently pick different meshes. Single-process hosts shrink to the
+    widest divisor (the reference's small-batch configs must keep working
+    anywhere); multi-process jobs must use every process's devices, so
+    divisibility is required instead.
+    """
+    devices = jax.devices()
+    n_data = len(devices)
+    if jax.process_count() > 1:
+        if unit_batch % n_data:
+            raise ValueError(
+                f"per-step batch {unit_batch} is not divisible by the "
+                f"{n_data} global devices (multi-host meshes must span "
+                "every process)")
+    else:
+        while unit_batch % n_data:
+            n_data -= 1
+        if n_data < len(devices):
+            import logging
+            logging.getLogger(__name__).warning(
+                "batch %d not divisible by %d devices; using %d device(s)",
+                unit_batch, len(devices), n_data)
+    return create_mesh(devices[:n_data])
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Leading-dim (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(axis_name))

@@ -39,15 +39,25 @@ DEFAULT_BYTE_BUDGET = 8 << 30
 
 def stack_dataset(dataset):
     """Materialize a uniform-shape dataset -> (img_u8 [N,...], dep [N,...])
-    host arrays. Shared by DevicePoolSampler and the convergence study."""
-    imgs, deps = zip(*(dataset[i] for i in range(len(dataset))))
-    try:
-        return np.stack(imgs), np.stack(deps)
-    except ValueError as e:
-        raise ValueError(
-            "device cache needs uniform example shapes — pack the "
-            "dataset first (`prepare` subcommand) or drop "
-            "--cache-device") from e
+    host arrays. Shared by DevicePoolSampler and the convergence study.
+
+    Fills preallocated arrays in place: collecting per-example tuples and
+    np.stack-ing would transiently hold TWO copies of a multi-GB dataset
+    on the host (Make3D raw is ~4 GB)."""
+    n = len(dataset)
+    img0, dep0 = dataset[0]
+    imgs = np.empty((n, *np.shape(img0)), np.asarray(img0).dtype)
+    deps = np.empty((n, *np.shape(dep0)), np.asarray(dep0).dtype)
+    imgs[0], deps[0] = img0, dep0
+    for i in range(1, n):
+        im, de = dataset[i]
+        if np.shape(im) != imgs.shape[1:] or np.shape(de) != deps.shape[1:]:
+            raise ValueError(
+                "device cache needs uniform example shapes — pack the "
+                "dataset first (`prepare` subcommand) or drop "
+                "--cache-device")
+        imgs[i], deps[i] = im, de
+    return imgs, deps
 
 
 class DevicePoolSampler:

@@ -68,7 +68,7 @@ def make_serving_fn(model, model_name: str, input_hw, precision=None):
 
 
 def export_serving(cfg, params, out_dir, *, batch=None, raw_hw=(480, 640),
-                   platforms=("cpu", "tpu")):
+                   platforms=("cpu", "tpu"), config_name=None):
     """Serialize the serving program + params into `out_dir`; returns meta.
 
     batch: None -> batch-polymorphic export (one artifact, any batch);
@@ -115,7 +115,8 @@ def export_serving(cfg, params, out_dir, *, batch=None, raw_hw=(480, 640),
     np.savez(os.path.join(out_dir, PARAMS_FILE), **stored)
 
     meta = {
-        "config": getattr(cfg, "name", None),
+        # preset name threaded from the CLI (Config itself is anonymous)
+        "config": config_name,
         "model": cfg.model.name,
         "quant": getattr(cfg.model, "quant", "none"),
         "input_hw": list(cfg.data.input_hw),

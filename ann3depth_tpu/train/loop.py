@@ -125,31 +125,10 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             "cache_device is exclusive with use_grain and multi-dataset "
             "interleave — one resident pool, one source")
     if mesh is None:
-        # Auto mesh: widest DP that divides the global batch. A batch
-        # smaller than the host's device count (smoke runs, tiny debug
-        # configs) trains on a device subset rather than erroring — the
-        # reference was single-device, so its small-batch configs must
-        # keep working on any host.
-        devices = jax.devices()
-        n_data = len(devices)
-        if nproc > 1:
-            # Multi-host: the mesh must span every process's devices (a
-            # subset would leave processes without a role in the SPMD
-            # program); require divisibility instead of auto-shrinking.
-            if (cfg.train.batch_size // accum) % n_data:
-                raise ValueError(
-                    f"microbatch {cfg.train.batch_size}//{accum} is not "
-                    f"divisible by the {n_data} global devices")
-        else:
-            # With grad_accum the unit that must split over devices is the
-            # microbatch (each scan iteration shards over "data").
-            while (cfg.train.batch_size // accum) % n_data:
-                n_data -= 1
-            if n_data < len(devices):
-                log.warning(
-                    "batch_size=%d not divisible by %d devices; training on "
-                    "%d device(s)", cfg.train.batch_size, len(devices), n_data)
-        mesh = meshlib.create_mesh(devices[:n_data])
+        # Shared auto-mesh policy (meshlib.auto_data_mesh): the per-step
+        # unit that shards over "data" is the microbatch when grad_accum>1.
+        mesh = meshlib.auto_data_mesh(cfg.train.batch_size // accum)
+        n_data = mesh.shape.get("data", 1)
     else:
         n_data = mesh.shape.get("data", 1)
         if (cfg.train.batch_size // accum) % n_data:
@@ -411,17 +390,7 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     dataset = dataset or build_dataset(cfg, "test")
     nproc = jax.process_count()
     if mesh is None:
-        devices = jax.devices()
-        n_data = len(devices)
-        if nproc > 1:
-            if cfg.train.batch_size % n_data:
-                raise ValueError(
-                    f"batch_size={cfg.train.batch_size} not divisible by "
-                    f"the {n_data} global devices")
-        else:
-            while cfg.train.batch_size % n_data:
-                n_data -= 1
-        mesh = meshlib.create_mesh(devices[:n_data])
+        mesh = meshlib.auto_data_mesh(cfg.train.batch_size)
     sharding = meshlib.batch_sharding(mesh)
     eval_batch_size = cfg.train.batch_size
     if nproc > 1:

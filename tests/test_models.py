@@ -127,3 +127,20 @@ def test_dpt_fused_qkv_param_compatible_and_close():
     norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(n > 0 for n in norms) >= len(norms) - 2
+
+    # from-scratch init scale matches flax DenseGeneral: fan_in of an
+    # (E,H,D) qkv kernel is E, not H*E (bare lecun_normal would draw
+    # ~sqrt(heads) too small — ops/quant.dense_general_init)
+    def _qkv_kernel_stds(tree):
+        out = []
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            keys = [getattr(k, "key", "") for k in path]
+            if ("query" in keys or "key" in keys or "value" in keys) \
+                    and keys[-1] == "kernel":
+                out.append(float(jnp.std(leaf)))
+        assert out
+        return out
+
+    for s_flax, s_fused in zip(_qkv_kernel_stds(params),
+                               _qkv_kernel_stds(f_params)):
+        assert 0.7 < s_fused / s_flax < 1.4, (s_flax, s_fused)
