@@ -34,6 +34,7 @@ from jax.sharding import PartitionSpec as P
 from ann3depth_tpu.parallel.mesh import DATA_AXIS
 from ann3depth_tpu.pipeline import preprocess
 from ann3depth_tpu.train import losses
+from ann3depth_tpu.train.step import _to_microbatches
 
 
 def _chunk_size(n_elems: int, n_dev: int) -> int:
@@ -69,20 +70,35 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
                           si_lambda=0.5, augment=False,
                           resize_precision="highest", learning_rate=1e-4,
                           b1=0.9, b2=0.999, weight_decay=0.0,
-                          clip_norm=1.0):
+                          clip_norm=1.0, grad_accum=1, ema_decay=0.0):
     """Build jitted (init_fn, step_fn) for ZeRO-1 DP training over `mesh`.
 
     init_fn(params) -> opt_state with every Adam moment sharded over the
       data axis (this mesh-column's 1/N flat chunk; global view [N*chunk]).
     step_fn(params, opt_state, step, img_u8, depth, rng)
       -> (params, opt_state, step, metrics); params replicated in and out,
-      batch arrays sharded over the data axis.
+      batch arrays sharded over the data axis. With ema_decay > 0 the
+      signature gains an `ema` pytree after `step` on both sides.
 
     Semantically equal (up to reduction order) to the replicated DP step
     with optax.chain(clip_by_global_norm, adamw): the clip is applied
     manually from a psum'd global norm because each device only sees its
     own disjoint gradient shard. `params` is used as the shape template
     for the sharded optimizer specs.
+
+    grad_accum > 1 scans `grad_accum` device-local microbatches of the
+    local shard (B_local/grad_accum each) before the single
+    reduce_scatter + update — ZeRO-1's optimizer-memory sharding and
+    grad_accum's activation-memory slicing compose: one collective round
+    per optimizer step regardless of accum. Metrics are exact effective-
+    batch values via summed sufficient statistics (losses.py), psum'd
+    over the data axis.
+
+    ema_decay > 0 maintains a Polyak average of the gathered full params
+    (elementwise on the replicated copy every device already holds after
+    the all_gather — no extra collective). The EMA tree is replicated,
+    not chunk-sharded, so checkpoints interchange with the replicated
+    trainer's ema_params layout.
     """
     n_dev = mesh.shape[DATA_AXIS]
     input_hw, target_hw = tuple(input_hw), tuple(target_hw)
@@ -91,29 +107,73 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
     # Inner optimizer WITHOUT the clip (handled explicitly) — Adam is
     # elementwise, so running it on flat chunks is exact.
     tx = optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+    stats_fn = lambda pred_log, depths: losses.depth_metric_stats(  # noqa: E731
+        pred_log, depths, si_lambda=si_lambda)
 
     def per_device_init(params):
         idx = jax.lax.axis_index(DATA_AXIS)
         chunks = jax.tree.map(lambda p: _local_chunk(p, idx, n_dev), params)
         return tx.init(chunks)
 
-    def per_device_step(params, opt_state, step, img_u8, depth_raw, rng):
+    def _grads_and_stats(params, img_u8, depth_raw, step, rng):
+        """Local-shard mean gradients + summed metric sufficient stats."""
         if augment:
             idx = jax.lax.axis_index(DATA_AXIS)
             key = jax.random.fold_in(jax.random.fold_in(rng, step), idx)
         else:
             key = None
-        images, depths = preprocess.preprocess_batch(
-            img_u8, depth_raw, input_hw, target_hw, key=key,
-            use_pallas=False, precision=prec)
 
-        def loss_fn(p):
+        def loss_fn(p, images, depths):
             pred_log = apply_fn({"params": p}, images)
             return losses.scale_invariant_log_loss(
                 pred_log, depths, lam=si_lambda), pred_log
 
-        (loss, pred_log), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        def one(p, img, dep, key):
+            images, depths = preprocess.preprocess_batch(
+                img, dep, input_hw, target_hw, key=key,
+                use_pallas=False, precision=prec)
+            grads, pred_log = jax.grad(loss_fn, has_aux=True)(
+                p, images, depths)
+            return grads, stats_fn(pred_log, depths)
+
+        if grad_accum == 1:
+            return one(params, img_u8, depth_raw, key)
+
+        # Microbatch split of the LOCAL shard (we are inside shard_map, so
+        # any split is device-local; interleaved to mirror train/step.py).
+        imgs = _to_microbatches(img_u8, grad_accum)
+        deps = _to_microbatches(depth_raw, grad_accum)
+        m = img_u8.shape[0] // grad_accum
+
+        zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype),
+                                  params)
+        zero_stats = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(stats_fn,
+                           jax.ShapeDtypeStruct((m, *target_hw, 1),
+                                                jnp.float32),
+                           jax.ShapeDtypeStruct((m, *target_hw),
+                                                jnp.float32)))
+
+        def micro(carry, xs):
+            gacc, sacc = carry
+            img, dep, j = xs
+            mkey = jax.random.fold_in(key, j) if augment else None
+            grads, stats = one(params, img, dep, mkey)
+            return (jax.tree.map(jnp.add, gacc, grads),
+                    jax.tree.map(jnp.add, sacc, stats)), None
+
+        (gacc, stats), _ = jax.lax.scan(
+            micro, (zero_grads, zero_stats),
+            (imgs, deps, jnp.arange(grad_accum)))
+        return jax.tree.map(lambda g: g / grad_accum, gacc), stats
+
+    def per_device_step(params, opt_state, step, *rest):
+        if ema_decay > 0:
+            ema, img_u8, depth_raw, rng = rest
+        else:
+            img_u8, depth_raw, rng = rest
+        grads, stats = _grads_and_stats(params, img_u8, depth_raw, step, rng)
 
         # reduce_scatter: each device ends with the global-mean gradient
         # for its 1/N chunk of every leaf.
@@ -136,10 +196,18 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
         # all_gather the updated chunks back to full replicated params.
         new_params = _gather_params(new_chunks, params)
 
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        rmse = jax.lax.pmean(
-            losses.depth_metrics(pred_log, depths)["rmse"], DATA_AXIS)
-        metrics = {"loss": loss, "rmse": rmse, "grad_norm": gnorm}
+        # Exact effective-batch metrics: stats sum over devices (disjoint
+        # shards), finalize once — dataset-grade RMSE, and the loss is the
+        # global mean per-image Eigen loss, same as train/step.py.
+        stats = jax.tree.map(lambda s: jax.lax.psum(s, DATA_AXIS), stats)
+        fin = losses.finalize_depth_metrics(stats)
+        metrics = {"loss": fin["loss"], "rmse": fin["rmse"],
+                   "grad_norm": gnorm}
+        if ema_decay > 0:
+            new_ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                ema, new_params)
+            return new_params, new_opt_state, step + 1, new_ema, metrics
         return new_params, new_opt_state, step + 1, metrics
 
     # Sharding specs for the opt state: moment chunks live over "data"
@@ -159,10 +227,17 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
         per_device_init, mesh=mesh,
         in_specs=(P(),), out_specs=opt_specs, check_vma=False))
 
+    if ema_decay > 0:
+        in_specs = (P(), opt_specs, P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                    P())
+        out_specs = (P(), opt_specs, P(), P(), P())
+        donate = (0, 1, 3)  # params, opt_state, ema
+    else:
+        in_specs = (P(), opt_specs, P(), P(DATA_AXIS), P(DATA_AXIS), P())
+        out_specs = (P(), opt_specs, P(), P())
+        donate = (0, 1)
     step_fn = jax.jit(jax.shard_map(
         per_device_step, mesh=mesh,
-        in_specs=(P(), opt_specs, P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), opt_specs, P(), P()),
-        check_vma=False,
-    ), donate_argnums=(0, 1))
+        in_specs=in_specs, out_specs=out_specs, check_vma=False,
+    ), donate_argnums=donate)
     return init_fn, step_fn

@@ -104,6 +104,8 @@ class CheckpointManager:
         these model sizes (encdec 2M / DPT 24M params; the extra trees
         are freed on return). Revisit if checkpoints reach pod scale.
         """
+        import numpy as np
+
         step = self.latest_step()
         if step is None:
             return state, None
@@ -115,7 +117,14 @@ class CheckpointManager:
                     f"checkpoint {step} in {self.dir} has no ema_params — "
                     "it was trained without ema_decay")
             params = restored["ema_params"]
-        state = state.replace(step=jax.numpy.asarray(restored["step"]),
+        # Normalize to HOST arrays: a template-free restore re-creates the
+        # trainer's saved shardings (e.g. the 4-device mesh of a
+        # --grad-accum run), which need not match the consumer's mesh —
+        # mixing them in one jit is an error. Host leaves are uncommitted,
+        # so the consumer's jit (or an explicit replicate, loop.evaluate)
+        # places them freely.
+        params = jax.tree.map(np.asarray, params)
+        state = state.replace(step=np.asarray(restored["step"]),
                               params=params)
         return state, step
 

@@ -88,11 +88,6 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     workdir = workdir or cfg.train.ckpt_dir
     nproc = jax.process_count()
     proc0 = jax.process_index() == 0
-    if nproc > 1 and (cfg.data.cache_device or cfg.data.use_grain
-                      or len(cfg.data.datasets) > 1):
-        raise ValueError(
-            "multi-host training currently supports the built-in feed on "
-            "one dataset; drop --cache-device/--use-grain/extra datasets")
     if nproc > 1 and cfg.train.batch_size % nproc:
         raise ValueError(
             f"global batch_size={cfg.train.batch_size} is not divisible by "
@@ -113,12 +108,6 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             f"batch_size={cfg.train.batch_size} is not divisible by "
             f"grad_accum={accum}")
-    if cfg.train.zero1 and accum > 1:
-        raise ValueError(
-            "zero1 with grad_accum is not wired; pick one (ZeRO-1 shards "
-            "optimizer memory, grad_accum shards activation memory)")
-    if cfg.train.zero1 and cfg.train.ema_decay > 0:
-        raise ValueError("ema_decay is not wired into the zero1 step")
     if cfg.data.cache_device and (cfg.data.use_grain
                                   or len(cfg.data.datasets) > 1):
         raise ValueError(
@@ -143,13 +132,17 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         dataset = build_dataset(cfg, "train")
         extra_datasets = [build_dataset(cfg, "train", name=n)
                           for n in cfg.data.datasets[1:]]
-    # Multi-host: each process reads its strided shard of the dataset and
+    # Multi-host: each process reads its strided shard of every dataset and
     # feeds batch_size/nproc rows per step; DeviceFeed assembles the global
-    # batch from the per-process shards (parallel/multihost.py).
+    # batch from the per-process shards (parallel/multihost.py). The device
+    # cache is the exception — DevicePoolSampler owns its own process
+    # partition and must see the full dataset.
     feed_batch_size = cfg.train.batch_size
-    if nproc > 1:
+    if nproc > 1 and not cfg.data.cache_device:
         from ann3depth_tpu.data.batching import ProcessShardView
         dataset = ProcessShardView(dataset, jax.process_index(), nproc)
+        extra_datasets = [ProcessShardView(d, jax.process_index(), nproc)
+                          for d in extra_datasets]
         feed_batch_size = cfg.train.batch_size // nproc
 
     zstep = None
@@ -168,19 +161,42 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         model = registry.build(cfg.model)
         host_params = steplib.init_params(model, cfg.data.input_hw,
                                           seed=cfg.train.seed)
-        init_fn, zstep = zero1lib.make_zero1_train_step(
+        ema_decay = cfg.train.ema_decay
+        init_fn, zstep_raw = zero1lib.make_zero1_train_step(
             mesh, model.apply, host_params,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
             si_lambda=cfg.train.si_lambda, augment=cfg.data.augment,
             resize_precision="default",
             learning_rate=steplib.make_schedule(
                 cfg.train.learning_rate, cfg.train.warmup_steps,
-                cfg.train.steps))
+                cfg.train.steps),
+            grad_accum=accum, ema_decay=ema_decay)
         params = meshlib.replicate(host_params, mesh)
         state = steplib.TrainState(
             step=meshlib.replicate(jnp.zeros((), jnp.int32), mesh),
             params=params, opt_state=init_fn(params),
-            tx=None, apply_fn=model.apply)
+            tx=None, apply_fn=model.apply,
+            # EMA seeds from a HOST-SIDE COPY of the init params: replicate
+            # (device_put) of the same host buffers is cached, and aliased
+            # params/ema arrays double-donate in the step.
+            ema_params=(meshlib.replicate(
+                jax.tree.map(np.copy, host_params), mesh)
+                if ema_decay > 0 else None))
+
+        if ema_decay > 0:
+            def zstep(state, img_u8, depth, rng):
+                p, o, s, e, metrics = zstep_raw(
+                    state.params, state.opt_state, state.step,
+                    state.ema_params, img_u8, depth, rng)
+                return state.replace(params=p, opt_state=o, step=s,
+                                     ema_params=e), metrics
+        else:
+            def zstep(state, img_u8, depth, rng):
+                p, o, s, metrics = zstep_raw(
+                    state.params, state.opt_state, state.step,
+                    img_u8, depth, rng)
+                return state.replace(params=p, opt_state=o,
+                                     step=s), metrics
     else:
         state = create_state(cfg, mesh)
     ckpt = CheckpointManager(cfg.train.ckpt_dir)
@@ -223,16 +239,21 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 "use_grain with multiple datasets is not wired; drop "
                 "--use-grain or train on one dataset")
         from ann3depth_tpu.pipeline.grain_loader import grain_batches
-        host_iter = grain_batches(dataset, cfg.train.batch_size,
+        # feed_batch_size: under multi-host, grain shuffles/batches this
+        # process's shard; DeviceFeed assembles the global batch.
+        host_iter = grain_batches(dataset, feed_batch_size,
                                   steps=n_steps,
                                   seed=cfg.train.seed + start_step,
                                   num_workers=cfg.data.num_workers)
     elif extra_datasets:
         # Multi-dataset training: round-robin whole batches (each batch is
         # shape-uniform; the jitted step compiles once per source shape).
+        # Under multi-host every process round-robins the same source
+        # order (steps bounds every per-source iterator, so none exhausts
+        # and the rotation stays aligned across processes).
         from ann3depth_tpu.data.batching import interleave_batches
         host_iter = interleave_batches([dataset, *extra_datasets],
-                                       cfg.train.batch_size, steps=n_steps,
+                                       feed_batch_size, steps=n_steps,
                                        seed=cfg.train.seed + start_step)
     else:
         host_iter = dataset.batches(feed_batch_size, steps=n_steps,
@@ -277,9 +298,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 profiling = True
             step_no = start_step + i
             if zstep is not None:
-                p, o, s, metrics = zstep(state.params, state.opt_state,
-                                         state.step, img_u8, depth, rng)
-                state = state.replace(params=p, opt_state=o, step=s)
+                state, metrics = zstep(state, img_u8, depth, rng)
             else:
                 state, metrics = steplib.train_step(
                     state, img_u8, depth, rng, **step_kwargs)
@@ -417,6 +436,10 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
+        # restore_params yields host arrays; place them on THIS eval mesh
+        # (the trainer's mesh may differ, e.g. under --grad-accum, and
+        # multi-host jit rejects process-local arrays).
+        state = state.replace(params=meshlib.replicate(state.params, mesh))
 
     # Accumulate stats as DEVICE scalars (adds dispatch async, overlapping
     # the next batch's step) and fetch once at the end: one host<->device

@@ -90,3 +90,80 @@ def test_zero1_opt_state_is_sharded(cpu_mesh):
     # mu + nu for every param element (each padded to chunk multiples)
     assert total_moment >= 2 * n_params
     assert total_moment <= 2 * (n_params + len(moment_leaves) * n_dev)
+
+
+@pytest.mark.slow
+def test_zero1_grad_accum_matches_full_batch(cpu_mesh):
+    """zero1 grad_accum=2 == zero1 accum=1 on the same global batch (one
+    optimizer update from scanned device-local microbatches; equal up to
+    f32 reassociation of the gradient sums)."""
+    batch = 16
+    model, params, img, dep, hw = _setup(batch)
+    rng = jax.random.key(0)
+    sh = meshlib.shard_batch({"i": img, "d": dep}, cpu_mesh)
+    rng_r = jax.device_put(rng, meshlib.replicated(cpu_mesh))
+
+    with jax.default_matmul_precision("highest"):
+        results = {}
+        for accum in (1, 2):
+            init_fn, step_fn = zero1.make_zero1_train_step(
+                cpu_mesh, model.apply, params, **hw, si_lambda=0.5,
+                augment=False, resize_precision="highest",
+                learning_rate=1e-3, grad_accum=accum)
+            p = meshlib.replicate(jax.tree.map(jnp.copy, params), cpu_mesh)
+            opt = init_fn(p)
+            step_no = jax.device_put(jnp.zeros((), jnp.int32),
+                                     meshlib.replicated(cpu_mesh))
+            for _ in range(2):
+                p, opt, step_no, m = step_fn(p, opt, step_no, sh["i"],
+                                             sh["d"], rng_r)
+            results[accum] = (jax.device_get(p), jax.device_get(m))
+
+    (p1, m1), (p2, m2) = results[1], results[2]
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    assert float(m1["rmse"]) == pytest.approx(float(m2["rmse"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_zero1_ema_matches_replicated_ema(cpu_mesh):
+    """zero1 ema_decay == the replicated step's EMA over the same
+    trajectory: both Polyak-average the post-update params."""
+    batch = 8
+    decay = 0.9
+    model, params, img, dep, hw = _setup(batch)
+    rng = jax.random.key(0)
+    sh = meshlib.shard_batch({"i": img, "d": dep}, cpu_mesh)
+    rng_r = jax.device_put(rng, meshlib.replicated(cpu_mesh))
+
+    with jax.default_matmul_precision("highest"):
+        # Reference: replicated step with in-step EMA.
+        tx = steplib.make_optimizer(1e-3)
+        state = steplib.TrainState.create(
+            model.apply, jax.tree.map(jnp.copy, params), tx, ema=True)
+        state = meshlib.replicate(state, cpu_mesh)
+        kw = dict(**hw, si_lambda=0.5, augment=False,
+                  resize_precision="highest", ema_decay=decay)
+        for _ in range(3):
+            state, _ = steplib.train_step(state, sh["i"], sh["d"],
+                                          rng_r, **kw)
+
+        init_fn, step_fn = zero1.make_zero1_train_step(
+            cpu_mesh, model.apply, params, **hw, si_lambda=0.5,
+            augment=False, resize_precision="highest", learning_rate=1e-3,
+            ema_decay=decay)
+        p = meshlib.replicate(jax.tree.map(jnp.copy, params), cpu_mesh)
+        ema = meshlib.replicate(jax.tree.map(jnp.copy, params), cpu_mesh)
+        opt = init_fn(p)
+        step_no = jax.device_put(jnp.zeros((), jnp.int32),
+                                 meshlib.replicated(cpu_mesh))
+        for _ in range(3):
+            p, opt, step_no, ema, _ = step_fn(p, opt, step_no, ema,
+                                              sh["i"], sh["d"], rng_r)
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.ema_params)),
+                    jax.tree.leaves(jax.device_get(ema))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-3)
