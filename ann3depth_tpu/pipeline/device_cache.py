@@ -15,6 +15,13 @@ shard (shard-local shuffling — the standard sharded-dataset DP recipe;
 the gather stays local via shard_map, no collectives). Statistically this
 is per-epoch shuffling within fixed shards rather than a global shuffle.
 
+Multi-host (r3): each process stages only its contiguous block of the
+(globally trimmed) dataset into its own devices' shards via
+`jax.make_array_from_process_local_data`, and generates per-step indices
+for its local shards only — the gather program is one global jit like the
+train step. Pass the FULL dataset, not a ProcessShardView; the sampler
+owns the process partition.
+
 Selected with DataConfig.cache_device / --cache-device. Falls back loudly
 if the dataset exceeds the HBM budget.
 """
@@ -60,6 +67,21 @@ def stack_dataset(dataset):
     return imgs, deps
 
 
+class _BlockView:
+    """Contiguous [start, start+count) window of a dataset — the per-process
+    staging block (make_array_from_process_local_data concatenates process
+    contributions in process order, so any disjoint partition is valid)."""
+
+    def __init__(self, dataset, start, count):
+        self._ds, self._start, self._count = dataset, start, count
+
+    def __len__(self):
+        return self._count
+
+    def __getitem__(self, i):
+        return self._ds[self._start + i]
+
+
 class DevicePoolSampler:
     """Iterable of (img_u8, depth) device batches gathered from an
     HBM-resident pool. API-compatible with pipeline.feed.DeviceFeed's
@@ -68,25 +90,40 @@ class DevicePoolSampler:
     def __init__(self, dataset, batch_size, mesh, *, steps=None, seed=0,
                  byte_budget=DEFAULT_BYTE_BUDGET):
         self.n_data = mesh.shape.get(meshlib.DATA_AXIS, 1)
+        nproc = jax.process_count()
+        pid = jax.process_index()
         if batch_size <= 0:
             raise ValueError(f"batch_size must be positive, got {batch_size}")
         if batch_size % self.n_data:
             raise ValueError(
                 f"batch_size={batch_size} not divisible by data axis "
                 f"{self.n_data}")
-        img, dep = stack_dataset(dataset)
+        if self.n_data % nproc:
+            raise ValueError(
+                f"data axis {self.n_data} must distribute evenly over "
+                f"{nproc} processes for --cache-device")
+        # this process's count of data-axis devices (== n_data when
+        # single-process)
+        self.local_data = self.n_data // nproc
+
+        # Trim to a shard-divisible example count (mirrors drop_remainder),
+        # then stage only this process's contiguous block.
+        n = (len(dataset) // self.n_data) * self.n_data
+        if n < len(dataset):
+            log.info("device cache: trimming %d example(s) for %d-way "
+                     "sharding", len(dataset) - n, self.n_data)
+        if n == 0:
+            raise ValueError(
+                f"dataset n={len(dataset)} is too small for "
+                f"{self.n_data}-way sharding")
+        n_local = n // nproc
+        img, dep = stack_dataset(_BlockView(dataset, pid * n_local, n_local))
         nbytes = img.nbytes + dep.nbytes
         if nbytes > byte_budget:
             raise ValueError(
-                f"dataset is {nbytes / 1e9:.1f} GB raw — over the "
-                f"{byte_budget / 1e9:.1f} GB device-cache budget; drop "
+                f"dataset is {nbytes / 1e9:.1f} GB raw per process — over "
+                f"the {byte_budget / 1e9:.1f} GB device-cache budget; drop "
                 "--cache-device for this dataset")
-        # Trim to a shard-divisible example count (mirrors drop_remainder).
-        n = (len(img) // self.n_data) * self.n_data
-        if n < len(img):
-            log.info("device cache: trimming %d example(s) for %d-way "
-                     "sharding", len(img) - n, self.n_data)
-        img, dep = img[:n], dep[:n]
         self.n = n
         self.shard = n // self.n_data
         self.per_dev = batch_size // self.n_data
@@ -101,14 +138,18 @@ class DevicePoolSampler:
         self.batch_size = batch_size
         self.steps = steps
         self.seed = seed
-        self._rng = np.random.default_rng(seed)
+        self._nproc = nproc
+        # decorrelate the shard-local shuffles across processes; each
+        # process permutes only its own devices' shards
+        self._rng = np.random.default_rng(seed + 1000003 * pid)
 
         sharding = meshlib.batch_sharding(mesh)
-        self.pool_img = jax.device_put(img, sharding)
-        self.pool_dep = jax.device_put(dep, sharding)
+        self.pool_img = self._put(img, sharding)
+        self.pool_dep = self._put(dep, sharding)
         self._idx_sharding = sharding
         log.info("device cache: staged %d examples (%.0f MB) across %d "
-                 "device(s)", n, nbytes / 1e6, self.n_data)
+                 "device(s), process %d/%d", n, nproc * nbytes / 1e6,
+                 self.n_data, pid, nproc)
 
         @functools.partial(
             jax.shard_map, mesh=mesh,
@@ -122,10 +163,16 @@ class DevicePoolSampler:
 
         self._gather = jax.jit(_gather)
 
+    def _put(self, x, sharding):
+        if self._nproc > 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
     def _epoch_local_perms(self):
-        """[n_data, shard] independent per-shard permutations."""
+        """[local_data, shard] independent per-shard permutations (this
+        process's data-axis devices only)."""
         return np.stack([self._rng.permutation(self.shard)
-                         for _ in range(self.n_data)])
+                         for _ in range(self.local_data)])
 
     def __iter__(self):
         # steps=None -> exactly one epoch (iter_batches' contract).
@@ -140,7 +187,7 @@ class DevicePoolSampler:
                 # concat of per-device local index blocks: block d holds
                 # indices into device d's shard.
                 idx = perms[:, b * self.per_dev:(b + 1) * self.per_dev]
-                idx = jax.device_put(
+                idx = self._put(
                     np.ascontiguousarray(idx.reshape(-1).astype(np.int32)),
                     self._idx_sharding)
                 yield self._gather(self.pool_img, self.pool_dep, idx)

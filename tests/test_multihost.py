@@ -21,9 +21,18 @@ import jax
 from ann3depth_tpu.config import get_config
 from ann3depth_tpu.train import loop
 
+mode = sys.argv[5] if len(sys.argv) > 5 else "builtin"
 cfg = get_config("smoke")
+data = cfg.data
+if mode == "cache":
+    data = dataclasses.replace(data, cache_device=True)
+elif mode == "grain":
+    data = dataclasses.replace(data, use_grain=True)
+elif mode == "multi":
+    data = dataclasses.replace(data, datasets=("synthetic", "synthetic"))
 cfg = dataclasses.replace(
     cfg,
+    data=data,
     train=dataclasses.replace(cfg.train, batch_size=8, steps=6,
                               ckpt_dir=sys.argv[3], checkpoint_every=5,
                               log_every=2, eval_every=3),
@@ -45,8 +54,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_training_lockstep(tmp_path):
+def _run_two_process(tmp_path, mode):
     from conftest import cpu_child_env
 
     port = str(_free_port())
@@ -57,7 +65,8 @@ def test_two_process_training_lockstep(tmp_path):
     cwd = os.path.dirname(os.path.dirname(__file__))
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i), port, ckpt, wds[i]],
+            [sys.executable, "-c", _WORKER, str(i), port, ckpt, wds[i],
+             mode],
             env=env, cwd=cwd, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True)
         for i in (0, 1)
@@ -89,12 +98,27 @@ def test_two_process_training_lockstep(tmp_path):
     # Params are replicated through the global psum: both controllers must
     # observe the identical final loss (bitwise — same program, same data).
     assert results[0]["loss"] == results[1]["loss"]
+    return wds, ckpt
 
+
+@pytest.mark.slow
+def test_two_process_training_lockstep(tmp_path):
+    wds, ckpt = _run_two_process(tmp_path, "builtin")
     # Writers are process-0-only; checkpoints exist (both processes save
     # through orbax into the shared dir).
     assert os.path.exists(os.path.join(wds[0], "metrics.jsonl"))
     assert not os.path.exists(os.path.join(wds[1], "metrics.jsonl"))
     assert any(d.isdigit() for d in os.listdir(ckpt))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["cache", "grain", "multi"])
+def test_two_process_training_feed_paths(tmp_path, mode):
+    """The r3-wired multi-host feed paths: HBM-resident device cache
+    (per-process pool staging), grain (per-process shard shuffling), and
+    multi-dataset interleave (aligned source rotation) — each trains
+    lockstep with bitwise-identical replicated losses."""
+    _run_two_process(tmp_path, mode)
 
 
 def test_process_shard_view_partitions_everything_once():
