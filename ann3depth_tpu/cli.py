@@ -42,6 +42,14 @@ def _common_flags(p):
                         "(e.g. 0.999); eval --ema scores it")
     p.add_argument("--steps", type=int)
     p.add_argument("--learning-rate", type=float)
+    p.add_argument("--warmup-steps", type=int,
+                   help="linear warmup steps before the cosine decay")
+    p.add_argument("--weight-decay", type=float,
+                   help="AdamW decoupled weight decay (default 0)")
+    p.add_argument("--clip-norm", type=float,
+                   help="global-norm gradient clip (default 1.0)")
+    p.add_argument("--adam-b1", type=float)
+    p.add_argument("--adam-b2", type=float)
     p.add_argument("--seed", type=int)
     p.add_argument("--preprocess-impl", choices=["xla", "pallas"],
                    help="device preprocess implementation (see DataConfig)")
@@ -74,6 +82,16 @@ def _resolve(args) -> cfglib.Config:
         train["ema_decay"] = args.ema_decay
     if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate: train["learning_rate"] = args.learning_rate
+    if getattr(args, "warmup_steps", None) is not None:
+        train["warmup_steps"] = args.warmup_steps
+    if getattr(args, "weight_decay", None) is not None:
+        train["weight_decay"] = args.weight_decay
+    if getattr(args, "clip_norm", None) is not None:
+        train["clip_norm"] = args.clip_norm
+    if getattr(args, "adam_b1", None) is not None:
+        train["adam_b1"] = args.adam_b1
+    if getattr(args, "adam_b2", None) is not None:
+        train["adam_b2"] = args.adam_b2
     if args.seed is not None: train["seed"] = args.seed
     if getattr(args, "preprocess_impl", None): data["preprocess_impl"] = args.preprocess_impl
     if getattr(args, "quant", None): model["quant"] = args.quant

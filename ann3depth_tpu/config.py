@@ -70,7 +70,7 @@ class TrainConfig:
     # reduce-scattered into 1/N chunks, Adam on the local chunk only,
     # params all-gathered — same per-step bytes as replicated DP, 1/N
     # optimizer memory + update FLOPs. Same warmup/cosine schedule as the
-    # replicated path. Exclusive with grad_accum>1 and quant.
+    # replicated path; composes with grad_accum and ema_decay (r3).
     zero1: bool = False
     # >0: maintain an exponential moving average of params inside the
     # jitted step (classic Polyak averaging; 0.999-ish). The EMA tree is
@@ -79,6 +79,12 @@ class TrainConfig:
     steps: int = 1000
     learning_rate: float = ref.DEFAULT_LEARNING_RATE
     warmup_steps: int = 100
+    # AdamW hyperparameters (train/step.make_optimizer; the zero1 path
+    # shares them so --zero1 trains the same optimizer).
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    weight_decay: float = 0.0
+    clip_norm: float = 1.0         # global-norm gradient clip
     checkpoint_every: int = 500
     log_every: int = 50
     eval_every: int = 500

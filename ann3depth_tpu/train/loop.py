@@ -70,7 +70,9 @@ def create_state(cfg: Config, mesh=None):
     model = registry.build(cfg.model)
     params = steplib.init_params(model, cfg.data.input_hw, seed=cfg.train.seed)
     tx = steplib.make_optimizer(
-        cfg.train.learning_rate, cfg.train.warmup_steps, cfg.train.steps)
+        cfg.train.learning_rate, cfg.train.warmup_steps, cfg.train.steps,
+        b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
+        weight_decay=cfg.train.weight_decay, clip_norm=cfg.train.clip_norm)
     state = steplib.TrainState.create(model.apply, params, tx,
                                       ema=cfg.train.ema_decay > 0)
     if mesh is not None:
@@ -170,6 +172,9 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             learning_rate=steplib.make_schedule(
                 cfg.train.learning_rate, cfg.train.warmup_steps,
                 cfg.train.steps),
+            b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
+            weight_decay=cfg.train.weight_decay,
+            clip_norm=cfg.train.clip_norm,
             grad_accum=accum, ema_decay=ema_decay)
         params = meshlib.replicate(host_params, mesh)
         state = steplib.TrainState(

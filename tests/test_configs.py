@@ -65,3 +65,24 @@ def test_cli_preprocess_impl_flag():
         ["train", "--config", "smoke", "--preprocess-impl", "pallas"])
     cfg = _resolve(args)
     assert cfg.data.preprocess_impl == "pallas"
+
+
+def test_cli_optimizer_hyperparameter_flags():
+    """r3: the AdamW surface (warmup/decay/clip/betas) is reachable from
+    the CLI and lands in TrainConfig for both optimizer paths."""
+    from ann3depth_tpu.cli import build_parser, _resolve
+
+    args = build_parser().parse_args(
+        ["train", "--config", "smoke", "--warmup-steps", "7",
+         "--weight-decay", "0.01", "--clip-norm", "2.5",
+         "--adam-b1", "0.85", "--adam-b2", "0.97"])
+    cfg = _resolve(args)
+    assert cfg.train.warmup_steps == 7
+    assert cfg.train.weight_decay == 0.01
+    assert cfg.train.clip_norm == 2.5
+    assert cfg.train.adam_b1 == 0.85
+    assert cfg.train.adam_b2 == 0.97
+    # defaults stay put when flags are absent
+    args = build_parser().parse_args(["train", "--config", "smoke"])
+    cfg = _resolve(args)
+    assert cfg.train.adam_b1 == 0.9 and cfg.train.clip_norm == 1.0
