@@ -21,7 +21,8 @@ import jax
 from ann3depth_tpu.config import get_config
 from ann3depth_tpu.train import loop
 
-mode = sys.argv[5] if len(sys.argv) > 5 else "builtin"
+opts = json.loads(sys.argv[5]) if len(sys.argv) > 5 else {}
+mode = opts.get("mode", "builtin")
 cfg = get_config("smoke")
 data = cfg.data
 if mode == "cache":
@@ -33,9 +34,13 @@ elif mode == "multi":
 cfg = dataclasses.replace(
     cfg,
     data=data,
-    train=dataclasses.replace(cfg.train, batch_size=8, steps=6,
-                              ckpt_dir=sys.argv[3], checkpoint_every=5,
-                              log_every=2, eval_every=3),
+    train=dataclasses.replace(
+        cfg.train, batch_size=8,
+        steps=opts.get("steps", 6),
+        ckpt_dir=sys.argv[3],
+        checkpoint_every=opts.get("checkpoint_every", 5),
+        resume=opts.get("resume", False),
+        log_every=2, eval_every=opts.get("eval_every", 3)),
 )
 state, metrics = loop.train(cfg, workdir=sys.argv[4], progress=False)
 print("RESULT " + json.dumps({
@@ -54,7 +59,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_two_process(tmp_path, mode):
+def _spawn_two_process(tmp_path, mode, **opts):
     from conftest import cpu_child_env
 
     port = str(_free_port())
@@ -63,14 +68,20 @@ def _run_two_process(tmp_path, mode):
     env = cpu_child_env(
         XLA_FLAGS="--xla_force_host_platform_device_count=4")
     cwd = os.path.dirname(os.path.dirname(__file__))
+    blob = json.dumps({"mode": mode, **opts})
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, str(i), port, ckpt, wds[i],
-             mode],
+             blob],
             env=env, cwd=cwd, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True)
         for i in (0, 1)
     ]
+    return procs, wds, ckpt
+
+
+def _run_two_process(tmp_path, mode, **opts):
+    procs, wds, ckpt = _spawn_two_process(tmp_path, mode, **opts)
     outs = []
     for p in procs:
         try:
@@ -93,7 +104,7 @@ def _run_two_process(tmp_path, mode):
     for r in results.values():
         assert r["nproc"] == 2
         assert r["ndev"] == 8          # global mesh spans both processes
-        assert r["step"] == 6
+        assert r["step"] == opts.get("steps", 6)
         assert np.isfinite(r["loss"])
     # Params are replicated through the global psum: both controllers must
     # observe the identical final loss (bitwise — same program, same data).
@@ -109,6 +120,46 @@ def test_two_process_training_lockstep(tmp_path):
     assert os.path.exists(os.path.join(wds[0], "metrics.jsonl"))
     assert not os.path.exists(os.path.join(wds[1], "metrics.jsonl"))
     assert any(d.isdigit() for d in os.listdir(ckpt))
+
+
+@pytest.mark.slow
+def test_cluster_kill_then_resume(tmp_path):
+    """Multi-host fault injection (SURVEY §5): SIGKILL the whole 2-process
+    cluster mid-run (a dead host leaves the others stuck in collectives —
+    restart is whole-job, the standard SPMD recovery model), then relaunch
+    with resume: the cluster restores the shared orbax checkpoint and
+    finishes the remaining steps in lockstep."""
+    import signal
+    import time
+
+    procs, _, ckpt = _spawn_two_process(
+        tmp_path, "builtin", steps=400, checkpoint_every=5, eval_every=0)
+    deadline = time.time() + 600
+    ckpt_seen = False
+    while time.time() < deadline:
+        if any(p.poll() is not None for p in procs):
+            outs = [p.communicate() for p in procs if p.poll() is not None]
+            pytest.fail(f"worker exited before kill: {outs}")
+        if os.path.isdir(ckpt) and any(d.isdigit() for d in os.listdir(ckpt)):
+            ckpt_seen = True
+            break
+        time.sleep(0.1)
+    if not ckpt_seen:
+        for p in procs:
+            p.kill()
+        pytest.fail("no checkpoint appeared within deadline")
+    for p in procs:
+        p.send_signal(signal.SIGKILL)
+    for p in procs:
+        p.wait(timeout=30)
+
+    resumed_from = max(int(d) for d in os.listdir(ckpt) if d.isdigit())
+    assert resumed_from >= 5
+    # Fresh coordinator, same checkpoint dir: must continue, not restart.
+    _run_two_process(tmp_path, "builtin", steps=resumed_from + 6,
+                     resume=True, checkpoint_every=5, eval_every=0)
+    final = max(int(d) for d in os.listdir(ckpt) if d.isdigit())
+    assert final == resumed_from + 6
 
 
 @pytest.mark.slow
