@@ -62,9 +62,12 @@ def _common_flags(p):
                    help="stage the whole dataset into device HBM once and "
                         "gather batches on device (uniform-shape datasets "
                         "within the HBM budget; see DataConfig)")
-    p.add_argument("--quant", choices=["none", "int8"],
-                   help="serving-only int8 MXU convs (encdec; eval/live/"
-                        "infer — rejected for train)")
+    p.add_argument("--quant", choices=["none", "int8", "int8-qat"],
+                   help="int8 MXU convs: 'int8' serves a bf16-trained "
+                        "checkpoint quantized (eval/live/infer — rejected "
+                        "for train); 'int8-qat' trains the fake-quant "
+                        "simulation (STE) so the checkpoint serves int8 "
+                        "at ~zero divergence")
 
 
 def _resolve(args) -> cfglib.Config:
@@ -420,10 +423,11 @@ def main(argv=None):
 
     if args.mode == "bench":
         cfg = _resolve(args)
-        if cfg.model.quant != "none" and not args.serving:
+        if cfg.model.quant == "int8" and not args.serving:
             # int8 convs round() has zero gradient — a "training" bench of
             # the quantized model would be meaningless (ADVICE r2); the
-            # same guard loop.train applies for real training.
+            # same guard loop.train applies for real training. int8-qat
+            # trains (STE), so benching its step cost is legitimate.
             raise SystemExit(
                 "--quant int8 is serving-only; pass --serving for the "
                 "inference bench or drop --quant for the training bench")

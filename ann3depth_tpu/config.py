@@ -47,12 +47,16 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # MXU-native compute; params stay f32
     width_mult: float = 1.0
     remat: bool = False            # jax.checkpoint stage blocks (HBM vs FLOPs)
-    # Serving-only: int8 MXU convs (encdec), dynamic activation scales,
-    # param tree unchanged — +12-14% serving throughput, priced on TRAINED
-    # weights at +0.68% eval RMSE (r3 convergence study,
+    # "int8": serving-only int8 MXU convs (encdec), dynamic activation
+    # scales, param tree unchanged — +12-14% serving throughput, priced on
+    # TRAINED weights at +0.68% eval RMSE (r3 convergence study,
     # benchmarks/exp_convergence.py). Rejected for training (round()
-    # kills gradients); loop.train asserts "none".
-    quant: str = "none"            # "none" | "int8"
+    # kills gradients); loop.train rejects it.
+    # "int8-qat": quantization-aware TRAINING (encdec) — fake-quant convs
+    # with straight-through gradients, so the optimizer sees the int8
+    # forward; the resulting checkpoint serves with --quant int8 at ~zero
+    # divergence (ops/quant.qconv_fake).
+    quant: str = "none"            # "none" | "int8" | "int8-qat"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,11 +39,12 @@ def _conv(features, kernel_size, *, strides=(1, 1), dtype, quant, name):
     """nn.Conv(use_bias=False) or its param-compatible int8 twin
     (ops/quant.QConv) — selected by the model's `quant` field; the param
     tree is identical either way, so bf16-trained checkpoints serve int8
-    without conversion."""
-    if quant == "int8":
+    without conversion. "int8-qat" is the trainable fake-quant simulation
+    of the int8 path (STE gradients)."""
+    if quant in ("int8", "int8-qat"):
         from ann3depth_tpu.ops.quant import QConv
         return QConv(features, kernel_size, strides, out_dtype=dtype,
-                     name=name)
+                     qat=quant == "int8-qat", name=name)
     return nn.Conv(features, kernel_size, strides=strides, padding="SAME",
                    dtype=dtype, use_bias=False, name=name)
 

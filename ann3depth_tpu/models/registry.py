@@ -43,6 +43,11 @@ def build(cfg: ModelConfig):
         raise ValueError(
             f"quant={cfg.quant!r} is only supported by 'encdec' and "
             f"'dpt', not {cfg.name!r}")
+    if getattr(cfg, "quant", "none") == "int8-qat" and cfg.name != "encdec":
+        # DPT int8 serving was measured and rejected (-14.7%, BASELINE.md),
+        # so training for it would be pointless.
+        raise ValueError("quant='int8-qat' is encdec-only (DPT int8 "
+                         "serving is a measured throughput loss)")
     return ctor(cfg)
 
 

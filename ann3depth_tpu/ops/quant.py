@@ -62,6 +62,37 @@ def quantize_sym(x, axis=None, bits=8):
     return q, scale.astype(jnp.float32)
 
 
+def fake_quant(x, axis=None, bits=8):
+    """Float-domain quantize->dequantize with a straight-through gradient.
+
+    Forward emits the value the int8 path would compute (round to the
+    symmetric grid, clip, rescale); backward is exact identity — with
+    dynamic per-tensor scales amax covers max|x|, so nothing is ever
+    clipped and the classic QAT pass-through-inside-range rule reduces to
+    identity. This is the training-side simulation of `qconv`/`qmatmul`
+    (quantization-aware training; Jacob et al. 2018 style)."""
+    qmax = 2.0 ** (bits - 1) - 1.0
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=axis is not None)
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    xq = jnp.clip(jnp.round(x / scale), -qmax, qmax) * scale
+    return x + jax.lax.stop_gradient(xq - x)
+
+
+def qconv_fake(x, kernel, strides=(1, 1), padding="SAME"):
+    """QAT twin of `qconv`: fake-quantize both operands (STE), convolve in
+    f32. Forward matches qconv up to f32 summation of exact int products
+    (int32 accumulation vs float adds); backward is the ordinary float
+    conv gradient through the STE — so training optimizes the quantized
+    network directly and the int8 serving divergence collapses to ~0."""
+    xf = fake_quant(x)
+    kf = fake_quant(kernel, axis=(0, 1, 2))
+    return jax.lax.conv_general_dilated(
+        xf, kf, window_strides=tuple(strides), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
 def qconv(x, kernel, strides=(1, 1), padding="SAME"):
     """Int8 conv: f32/bf16 x [B,H,W,Ci], f32 kernel [kh,kw,Ci,Co] -> f32.
 
@@ -169,13 +200,20 @@ class QMultiHeadAttention(nn.Module):
 
 
 class QConv(nn.Module):
-    """Param-compatible int8 replacement for nn.Conv(use_bias=False)."""
+    """Param-compatible int8 replacement for nn.Conv(use_bias=False).
+
+    qat=True swaps the int8 MXU conv for its fake-quant f32 simulation
+    (`qconv_fake`, STE gradients) — the TRAINING side of the int8 path;
+    the param tree is identical across nn.Conv / QConv / QConv(qat), so
+    one checkpoint moves freely between bf16 training, QAT fine-tuning,
+    and int8 serving."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
     padding: str = "SAME"
     out_dtype: jnp.dtype = jnp.bfloat16
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -183,5 +221,6 @@ class QConv(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (kh, kw, x.shape[-1], self.features), jnp.float32)
-        return qconv(x, kernel, self.strides, self.padding).astype(
+        op = qconv_fake if self.qat else qconv
+        return op(x, kernel, self.strides, self.padding).astype(
             self.out_dtype)

@@ -94,12 +94,13 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             f"global batch_size={cfg.train.batch_size} is not divisible by "
             f"{nproc} processes")
-    if cfg.model.quant != "none":
+    if cfg.model.quant not in ("none", "int8-qat"):
         raise ValueError(
             f"model.quant={cfg.model.quant!r} is a serving-only path "
             "(round() has zero gradient — training would silently freeze "
-            "the conv weights); train with quant='none' and pass --quant "
-            "int8 to eval/live/infer")
+            "the conv weights); train with quant='none', or quant="
+            "'int8-qat' for quantization-aware training, and pass "
+            "--quant int8 to eval/live/infer")
     if cfg.train.batch_size <= 0:
         raise ValueError(
             f"batch_size must be positive, got {cfg.train.batch_size}")

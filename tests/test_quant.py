@@ -111,3 +111,92 @@ def test_dpt_int8_shares_param_tree_and_stays_close():
     # divergence (the encdec int8 budget scaled for depth-3)
     assert d.mean() < 0.05, d.mean()
     assert d.max() < 0.5, d.max()
+
+
+def test_fake_quant_matches_int8_grid_with_identity_grad():
+    """fake_quant's forward is the dequantized int8 grid; its gradient is
+    exact identity (STE — nothing clips under dynamic scales)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 7)).astype(np.float32))
+
+    q, scale = quant.quantize_sym(x)
+    np.testing.assert_allclose(np.asarray(quant.fake_quant(x)),
+                               np.asarray(q.astype(np.float32) * scale),
+                               rtol=0, atol=1e-7)
+
+    g = jax.grad(lambda v: jnp.sum(quant.fake_quant(v) * 3.0))(x)
+    np.testing.assert_allclose(np.asarray(g), 3.0, rtol=0, atol=0)
+
+
+def test_qconv_fake_matches_qconv_forward_with_real_grads():
+    """The QAT conv forward tracks the int8 conv (same quantization grid,
+    f32 vs int32 accumulation) and carries real gradients — unlike qconv,
+    whose round() zeroes them."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32) * 0.2)
+
+    y_int8 = quant.qconv(x, k)
+    y_fake = quant.qconv_fake(x, k)
+    np.testing.assert_allclose(np.asarray(y_fake), np.asarray(y_int8),
+                               rtol=1e-5, atol=1e-4)
+
+    gk = jax.grad(lambda kk: jnp.sum(quant.qconv_fake(x, kk) ** 2))(k)
+    gk_int8 = jax.grad(lambda kk: jnp.sum(quant.qconv(x, kk) ** 2))(k)
+    # STE grads are dense; qconv's round() zeroes everything except the
+    # per-output-channel scale path (gradient only at each channel's
+    # max-|w| entry) — useless for training.
+    dense = int(jnp.sum(jnp.abs(gk) > 0))
+    sparse = int(jnp.sum(jnp.abs(gk_int8) > 0))
+    assert dense > 0.9 * k.size, (dense, k.size)
+    assert sparse <= k.shape[-1], (sparse, k.shape[-1])
+
+
+def test_encdec_qat_trains_and_serves_int8_unchanged():
+    """int8-qat end-to-end: the QAT encdec trains (loss decreases), its
+    param tree is identical to the bf16/int8 graphs, and the int8 serving
+    forward of the QAT-trained params matches the QAT forward closely
+    (the whole point: train-time forward == serve-time forward)."""
+    import dataclasses
+
+    from ann3depth_tpu.config import ModelConfig
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.train import step as steplib
+
+    hw = (48, 64)
+    cfg_qat = ModelConfig(name="encdec", compute_dtype="float32",
+                          quant="int8-qat")
+    model = registry.build(cfg_qat)
+    params = steplib.init_params(model, hw, seed=0)
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (4, 56, 72, 3), dtype=np.uint8)
+    dep = rng.uniform(1.0, 50.0, (4, 24, 32)).astype(np.float32)
+    tx = steplib.make_optimizer(1e-3)
+    state = steplib.TrainState.create(model.apply, params, tx)
+    losses = []
+    key = jax.random.key(0)
+    for _ in range(8):
+        state, m = steplib.train_step(
+            state, img, dep, key, input_hw=hw, target_hw=(24, 32),
+            si_lambda=0.5)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses  # STE gradients actually train
+
+    # same tree -> int8 serving graph restores the QAT params unchanged
+    int8_model = registry.build(dataclasses.replace(cfg_qat, quant="int8"))
+    x = jnp.asarray(rng.normal(size=(2, *hw, 3)).astype(np.float32))
+    y_qat = model.apply({"params": state.params}, x)
+    y_int8 = int8_model.apply({"params": state.params}, x)
+    np.testing.assert_allclose(np.asarray(y_int8), np.asarray(y_qat),
+                               rtol=1e-3, atol=5e-3)
+
+
+def test_registry_rejects_qat_outside_encdec():
+    import pytest
+
+    from ann3depth_tpu.config import ModelConfig
+    from ann3depth_tpu.models import registry
+
+    with pytest.raises(ValueError, match="encdec-only"):
+        registry.build(ModelConfig(name="dpt", quant="int8-qat"))
