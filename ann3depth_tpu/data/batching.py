@@ -38,6 +38,15 @@ def interleave_batches(datasets, batch_size: int, *,
                         steps=None if steps is None else steps,
                         shuffle=shuffle, seed=seed + 17 * k)
            for k, d in enumerate(datasets)]
+    yield from round_robin(its, steps=steps)
+
+
+def round_robin(iterators, *, steps: Optional[int] = None) -> Iterator:
+    """Yield from each iterator in turn, dropping exhausted ones; stop
+    after `steps` total yields (None = until every source is exhausted).
+    Shared by interleave_batches and the grain multi-dataset path
+    (train/loop.py) so the source-rotation contract can't diverge."""
+    its = list(iterators)
     step = 0
     while its:
         for it in list(its):

@@ -240,17 +240,26 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                                  steps=n_steps,
                                  seed=cfg.train.seed + start_step)
     elif cfg.data.use_grain:
-        if extra_datasets:
-            raise NotImplementedError(
-                "use_grain with multiple datasets is not wired; drop "
-                "--use-grain or train on one dataset")
         from ann3depth_tpu.pipeline.grain_loader import grain_batches
         # feed_batch_size: under multi-host, grain shuffles/batches this
         # process's shard; DeviceFeed assembles the global batch.
-        host_iter = grain_batches(dataset, feed_batch_size,
-                                  steps=n_steps,
-                                  seed=cfg.train.seed + start_step,
-                                  num_workers=cfg.data.num_workers)
+        if extra_datasets:
+            # Multi-dataset x grain: round-robin whole batches from one
+            # grain pipeline per source (same alignment contract as
+            # interleave_batches — steps bounds each pipeline, so the
+            # rotation never skips an exhausted source).
+            from ann3depth_tpu.data.batching import round_robin
+            host_iter = round_robin(
+                [grain_batches(d, feed_batch_size, steps=n_steps,
+                               seed=cfg.train.seed + start_step + 17 * k,
+                               num_workers=cfg.data.num_workers)
+                 for k, d in enumerate([dataset, *extra_datasets])],
+                steps=n_steps)
+        else:
+            host_iter = grain_batches(dataset, feed_batch_size,
+                                      steps=n_steps,
+                                      seed=cfg.train.seed + start_step,
+                                      num_workers=cfg.data.num_workers)
     elif extra_datasets:
         # Multi-dataset training: round-robin whole batches (each batch is
         # shape-uniform; the jitted step compiles once per source shape).

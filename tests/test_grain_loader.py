@@ -57,3 +57,36 @@ def test_train_loop_runs_on_grain_pipeline(tmp_path):
     assert np.isfinite(metrics["loss"])
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert lines  # metrics flowed through the grain-fed loop
+
+
+def test_train_loop_grain_multi_dataset_interleave(tmp_path):
+    """r3: --use-grain with several datasets round-robins one grain
+    pipeline per source (was a NotImplementedError)."""
+    import dataclasses
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, use_grain=True,
+                                 datasets=("synthetic", "synthetic")),
+        train=dataclasses.replace(cfg.train, batch_size=4, steps=6,
+                                  ckpt_dir=str(tmp_path / "ckpt"),
+                                  log_every=3, eval_every=0,
+                                  checkpoint_every=6),
+    )
+    state, metrics = looplib.train(cfg, workdir=str(tmp_path),
+                                   progress=False)
+    assert int(state.step) == 6
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_round_robin_bounds_and_drops_exhausted():
+    from ann3depth_tpu.data.batching import round_robin
+
+    a, b = iter([1, 2]), iter([10, 20, 30, 40])
+    assert list(round_robin([a, b])) == [1, 10, 2, 20, 30, 40]
+    assert list(round_robin([iter([1, 2]), iter([10, 20])], steps=3)) == [
+        1, 10, 2]
