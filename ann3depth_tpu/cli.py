@@ -47,7 +47,8 @@ def _common_flags(p):
     p.add_argument("--weight-decay", type=float,
                    help="AdamW decoupled weight decay (default 0)")
     p.add_argument("--clip-norm", type=float,
-                   help="global-norm gradient clip (default 1.0)")
+                   help="global-norm gradient clip (default 1.0; <= 0 "
+                        "disables clipping)")
     p.add_argument("--adam-b1", type=float)
     p.add_argument("--adam-b2", type=float)
     p.add_argument("--seed", type=int)
@@ -84,7 +85,8 @@ def _resolve(args) -> cfglib.Config:
     if getattr(args, "ema_decay", None) is not None:
         train["ema_decay"] = args.ema_decay
     if args.steps is not None: train["steps"] = args.steps
-    if args.learning_rate: train["learning_rate"] = args.learning_rate
+    if args.learning_rate is not None:
+        train["learning_rate"] = args.learning_rate
     if getattr(args, "warmup_steps", None) is not None:
         train["warmup_steps"] = args.warmup_steps
     if getattr(args, "weight_decay", None) is not None:

@@ -34,7 +34,7 @@ from jax.sharding import PartitionSpec as P
 from ann3depth_tpu.parallel.mesh import DATA_AXIS
 from ann3depth_tpu.pipeline import preprocess
 from ann3depth_tpu.train import losses
-from ann3depth_tpu.train.step import _to_microbatches
+from ann3depth_tpu.train.step import accumulate_microbatches, ema_update
 
 
 def _chunk_size(n_elems: int, n_dev: int) -> int:
@@ -140,33 +140,12 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
             return one(params, img_u8, depth_raw, key)
 
         # Microbatch split of the LOCAL shard (we are inside shard_map, so
-        # any split is device-local; interleaved to mirror train/step.py).
-        imgs = _to_microbatches(img_u8, grad_accum)
-        deps = _to_microbatches(depth_raw, grad_accum)
-        m = img_u8.shape[0] // grad_accum
-
-        zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype),
-                                  params)
-        zero_stats = jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype),
-            jax.eval_shape(stats_fn,
-                           jax.ShapeDtypeStruct((m, *target_hw, 1),
-                                                jnp.float32),
-                           jax.ShapeDtypeStruct((m, *target_hw),
-                                                jnp.float32)))
-
-        def micro(carry, xs):
-            gacc, sacc = carry
-            img, dep, j = xs
-            mkey = jax.random.fold_in(key, j) if augment else None
-            grads, stats = one(params, img, dep, mkey)
-            return (jax.tree.map(jnp.add, gacc, grads),
-                    jax.tree.map(jnp.add, sacc, stats)), None
-
-        (gacc, stats), _ = jax.lax.scan(
-            micro, (zero_grads, zero_stats),
-            (imgs, deps, jnp.arange(grad_accum)))
-        return jax.tree.map(lambda g: g / grad_accum, gacc), stats
+        # any split is device-local) — the shared scan from train/step.py.
+        return accumulate_microbatches(
+            lambda img, dep, mkey: one(params, img, dep, mkey),
+            img_u8, depth_raw, grad_accum=grad_accum, augment=augment,
+            base_key=key, grads_like=params, stats_fn=stats_fn,
+            target_hw=target_hw)
 
     def per_device_step(params, opt_state, step, *rest):
         if ema_decay > 0:
@@ -181,11 +160,13 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
 
         # Global-norm clip across ALL shards and devices: the chunks are
         # disjoint, so local sumsq psum'd over the axis is the full ||g||².
+        # clip_norm <= 0 disables clipping (matches make_optimizer).
         local_sq = sum(jnp.sum(jnp.square(c))
                        for c in jax.tree.leaves(gchunks))
         gnorm = jnp.sqrt(jax.lax.psum(local_sq, DATA_AXIS))
-        scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
-        gchunks = jax.tree.map(lambda c: c * scale, gchunks)
+        if clip_norm > 0:
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+            gchunks = jax.tree.map(lambda c: c * scale, gchunks)
 
         # Sharded optimizer update on the chunks only (1/N state + FLOPs).
         idx = jax.lax.axis_index(DATA_AXIS)
@@ -204,9 +185,7 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
         metrics = {"loss": fin["loss"], "rmse": fin["rmse"],
                    "grad_norm": gnorm}
         if ema_decay > 0:
-            new_ema = jax.tree.map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-                ema, new_params)
+            new_ema = ema_update(ema, new_params, ema_decay)
             return new_params, new_opt_state, step + 1, new_ema, metrics
         return new_params, new_opt_state, step + 1, metrics
 

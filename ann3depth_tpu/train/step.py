@@ -56,9 +56,14 @@ class TrainState(struct.PyTreeNode):
 def make_schedule(learning_rate, warmup_steps=0, total_steps=None):
     """Linear warmup + cosine decay schedule (or the constant lr).
 
+    total_steps set -> cosine decay over the run, with warmup_steps of
+    linear warmup first (0 = no warmup, decay only — `--warmup-steps 0`
+    must disable the warmup, not silently the whole schedule).
+    total_steps None -> constant learning rate (tests/benches).
+
     Shared by the replicated optimizer below and the ZeRO-1 path
     (parallel/zero1.py) so --zero1 trains on the same schedule."""
-    if warmup_steps and total_steps:
+    if total_steps:
         return optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
     return learning_rate
@@ -66,10 +71,15 @@ def make_schedule(learning_rate, warmup_steps=0, total_steps=None):
 
 def make_optimizer(learning_rate, warmup_steps=0, total_steps=None,
                    b1=0.9, b2=0.999, weight_decay=0.0, clip_norm=1.0):
-    """AdamW with linear warmup + cosine decay; global-norm clipped."""
+    """AdamW with linear warmup + cosine decay; global-norm clipped.
+
+    clip_norm <= 0 disables clipping (the usual convention) — a literal
+    clip-to-0 would silently zero every update and freeze training."""
     sched = make_schedule(learning_rate, warmup_steps, total_steps)
+    clip = (optax.clip_by_global_norm(clip_norm) if clip_norm > 0
+            else optax.identity())
     return optax.chain(
-        optax.clip_by_global_norm(clip_norm),
+        clip,
         optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay),
     )
 
@@ -95,12 +105,53 @@ def _to_microbatches(x, accum):
     return jnp.swapaxes(x, 0, 1)
 
 
+def ema_update(ema, new_params, ema_decay):
+    """One Polyak-averaging step (shared with parallel/zero1.py)."""
+    return jax.tree.map(lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                        ema, new_params)
+
+
 def _ema_update(state, new_params, ema_decay):
     """EMA of params after the optimizer step (no-op when disabled)."""
     if state.ema_params is None or not ema_decay:
         return state.ema_params
-    return jax.tree.map(lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-                        state.ema_params, new_params)
+    return ema_update(state.ema_params, new_params, ema_decay)
+
+
+def accumulate_microbatches(one, img_u8, depth_raw, *, grad_accum, augment,
+                            base_key, grads_like, stats_fn, target_hw):
+    """Scan `grad_accum` interleaved microbatches through
+    `one(img, dep, key) -> (grads, stats)`, summing both carries.
+
+    Returns (mean grads, summed stats). Shared by the replicated accum
+    step below and the ZeRO-1 accum path (parallel/zero1.py) so the
+    zero-carry shape recipe and the per-microbatch key scheme cannot
+    diverge between the two trainers."""
+    m = img_u8.shape[0] // grad_accum
+    imgs = _to_microbatches(img_u8, grad_accum)
+    deps = _to_microbatches(depth_raw, grad_accum)
+    zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype),
+                              grads_like)
+    # Stats carry structure from an abstract eval of one microbatch's stats
+    # (all f32 scalars).
+    zero_stats = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(stats_fn,
+                       jax.ShapeDtypeStruct((m, *target_hw, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((m, *target_hw), jnp.float32)))
+
+    def micro(carry, xs):
+        gacc, sacc = carry
+        img, dep, idx = xs
+        key = jax.random.fold_in(base_key, idx) if augment else None
+        grads, stats = one(img, dep, key)
+        return (jax.tree.map(jnp.add, gacc, grads),
+                jax.tree.map(jnp.add, sacc, stats)), None
+
+    (gacc, stats), _ = jax.lax.scan(
+        micro, (zero_grads, zero_stats),
+        (imgs, deps, jnp.arange(grad_accum)))
+    return jax.tree.map(lambda g: g / grad_accum, gacc), stats
 
 
 @functools.partial(
@@ -176,40 +227,24 @@ def _train_step_accum(state, img_u8, depth_raw, rng, *, input_hw, target_hw,
         raise ValueError(
             f"global batch {img_u8.shape[0]} is not divisible by "
             f"grad_accum={grad_accum}")
-    m = img_u8.shape[0] // grad_accum
-    imgs = _to_microbatches(img_u8, grad_accum)
-    deps = _to_microbatches(depth_raw, grad_accum)
     base_key = jax.random.fold_in(rng, state.step) if augment else None
-
-    zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype),
-                              state.params)
-    # Stats carry structure from an abstract eval of one microbatch's stats
-    # (all f32 scalars; si_lambda included so `loss` finalizes to the mean
-    # per-image Eigen loss over the full effective batch, same as accum=1).
+    # si_lambda included so `loss` finalizes to the mean per-image Eigen
+    # loss over the full effective batch, same as accum=1.
     stats_fn = functools.partial(losses.depth_metric_stats,
                                  si_lambda=si_lambda)
-    zero_stats = jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype),
-        jax.eval_shape(stats_fn,
-                       jax.ShapeDtypeStruct((m, *target_hw, 1), jnp.float32),
-                       jax.ShapeDtypeStruct((m, *target_hw), jnp.float32)))
 
-    def micro(carry, xs):
-        gacc, sacc = carry
-        img, dep, idx = xs
-        key = jax.random.fold_in(base_key, idx) if augment else None
+    def one(img, dep, key):
         images, depths = preprocess.preprocess_batch(
             img, dep, input_hw, target_hw, key=key,
             use_pallas=use_pallas, precision=prec, emit_s2d=emit_s2d)
         grads, pred_log = jax.grad(loss_fn, has_aux=True)(
             state.params, state.apply_fn, images, depths, si_lambda)
-        sacc = jax.tree.map(jnp.add, sacc, stats_fn(pred_log, depths))
-        return (jax.tree.map(jnp.add, gacc, grads), sacc), None
+        return grads, stats_fn(pred_log, depths)
 
-    (gacc, stats), _ = jax.lax.scan(
-        micro, (zero_grads, zero_stats),
-        (imgs, deps, jnp.arange(grad_accum)))
-    grads = jax.tree.map(lambda g: g / grad_accum, gacc)
+    grads, stats = accumulate_microbatches(
+        one, img_u8, depth_raw, grad_accum=grad_accum, augment=augment,
+        base_key=base_key, grads_like=state.params, stats_fn=stats_fn,
+        target_hw=target_hw)
 
     updates, new_opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)

@@ -129,6 +129,9 @@ def run(cfg, steps: int = 100, warmup: int = 10, raw_hw=(480, 640),
     result = {
         "bench": "train_throughput",
         "model": cfg.model.name,
+        # quant mode distinguishes int8-qat pricing rows from the bf16
+        # baseline history in results.jsonl
+        "quant": cfg.model.quant,
         "batch_size": b,
         "input_hw": list(cfg.data.input_hw),
         "backend": jax.default_backend(),

@@ -84,10 +84,15 @@ def study_qat(steps=4000, batch=16, record=True):
         "bench": "qat_encdec",
         "steps": steps, "batch": batch,
         "backend": jax.default_backend(),
-        "train_s_bf16": runs["bf16"]["train_s"],
-        "train_s_qat": runs["qat"]["train_s"],
-        "qat_step_cost_pct": round(
-            100 * (runs["qat"]["train_s"] / runs["bf16"]["train_s"] - 1), 2),
+        # Whole-run wall clock INCLUDING compile + staging + tunnel
+        # variance — NOT a step-cost measurement (the first recorded run
+        # showed -51% from a slow-tunnel window on the bf16 leg). For the
+        # real training cost use the scan-of-K bench:
+        #   python -m ann3depth_tpu bench --config make3d-encdec \
+        #       [--quant int8-qat]
+        # (measured +38.9% step time, BASELINE.md).
+        "train_wall_s_bf16_incl_compile": runs["bf16"]["train_s"],
+        "train_wall_s_qat_incl_compile": runs["qat"]["train_s"],
         "loss_curve_bf16": runs["bf16"]["curve"][-3:],
         "loss_curve_qat": runs["qat"]["curve"][-3:],
         "evals": evals,

@@ -165,3 +165,39 @@ def test_profile_window_emits_trace(tmp_path):
     files = glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
     assert any(f.endswith(".pb") or "trace" in os.path.basename(f)
                or "xplane" in f for f in files), files
+
+
+def test_warmup_zero_keeps_cosine_decay():
+    """--warmup-steps 0 must disable only the warmup, not the whole
+    schedule (review r3: the old falsy check fell back to a constant lr)."""
+    from ann3depth_tpu.train import step as steplib
+
+    sched = steplib.make_schedule(1e-3, warmup_steps=0, total_steps=1000)
+    assert callable(sched)
+    assert float(sched(0)) == pytest.approx(1e-3, rel=1e-6)  # no warmup
+    assert float(sched(999)) < 1e-4                          # cosine decayed
+    # no total_steps -> constant lr (tests/benches)
+    assert steplib.make_schedule(1e-3) == 1e-3
+
+
+def test_clip_norm_nonpositive_disables_clipping():
+    """--clip-norm 0 means 'no clipping', not 'zero every update' (review
+    r3: optax.clip_by_global_norm(0.0) silently freezes training)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ann3depth_tpu.train import step as steplib
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 100.0)}  # far beyond any clip threshold
+    tx = steplib.make_optimizer(1e-2, clip_norm=0.0)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    new = optax.apply_updates(params, updates)
+    delta = float(jnp.max(jnp.abs(new["w"] - params["w"])))
+    assert delta > 1e-4, "clip_norm=0 zeroed the update (frozen training)"
+
+    # sanity: a positive clip still clips (same grads, tiny threshold)
+    tx_c = steplib.make_optimizer(1e-2, clip_norm=1e-6)
+    upd_c, _ = tx_c.update(grads, tx_c.init(params), params)
+    assert jax.tree.leaves(upd_c)[0].shape == (4,)
