@@ -33,6 +33,10 @@ def _common_flags(p):
     p.add_argument("--grad-accum", type=int,
                    help="microbatches per optimizer update (one jitted "
                         "scan; peak memory = batch_size/grad_accum images)")
+    p.add_argument("--tp", type=int, dest="tensor_parallel",
+                   help="tensor-parallel width: mesh gains a 'model' axis "
+                        "of this size and the DPT transformer's heads/MLP "
+                        "shard over it (dp = n_devices/tp)")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data axis (ZeRO-1: "
                         "reduce-scattered grads, 1/N Adam state per device, "
@@ -82,6 +86,8 @@ def _resolve(args) -> cfglib.Config:
     if getattr(args, "grad_accum", None) is not None:
         train["grad_accum"] = args.grad_accum
     if getattr(args, "zero1", False): train["zero1"] = True
+    if getattr(args, "tensor_parallel", None) is not None:
+        train["tensor_parallel"] = args.tensor_parallel
     if getattr(args, "ema_decay", None) is not None:
         train["ema_decay"] = args.ema_decay
     if args.steps is not None: train["steps"] = args.steps

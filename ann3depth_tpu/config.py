@@ -80,6 +80,12 @@ class TrainConfig:
     # jitted step (classic Polyak averaging; 0.999-ish). The EMA tree is
     # checkpointed alongside params; evaluate/CLI eval --ema score it.
     ema_decay: float = 0.0
+    # >1: tensor parallelism width — the mesh gains a "model" axis of
+    # this size and the DPT transformer's attention heads / MLP hidden
+    # shard over it (parallel/sharding_rules.py); jit's propagation
+    # inserts the TP collectives over ICI. DPT-family models only (the
+    # CNNs have no rule matches and would waste the axis — SURVEY §2.3).
+    tensor_parallel: int = 1
     steps: int = 1000
     learning_rate: float = ref.DEFAULT_LEARNING_RATE
     warmup_steps: int = 100

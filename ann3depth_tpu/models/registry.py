@@ -76,6 +76,19 @@ def _dpt(cfg: ModelConfig):
                        quant=getattr(cfg, "quant", "none"))
 
 
+@register("dpt-small")
+def _dpt_small(cfg: ModelConfig):
+    """Tiny ViT variant of the DPT family: the CPU-viable smoke/debug
+    counterpart to 'small' for the transformer path (also the loop-level
+    tensor-parallel test vehicle — 4 heads / 512 MLP hidden shard over
+    tp=2 or 4)."""
+    from ann3depth_tpu.models.dpt import DPTDepthNet
+    return DPTDepthNet(dim=128, depth=6, heads=4, fusion_features=64,
+                       tap_layers=(1, 2, 4, 5),
+                       compute_dtype=_dtype(cfg), remat=cfg.remat,
+                       quant=getattr(cfg, "quant", "none"))
+
+
 def output_hw(name: str, input_hw):
     """Static output shape for a registered model at a given input size."""
     if name == "small":
@@ -84,7 +97,7 @@ def output_hw(name: str, input_hw):
     if name == "encdec":
         from ann3depth_tpu.models.encdec import EncDecDepthNet
         return EncDecDepthNet.output_hw(input_hw)
-    if name == "dpt":
+    if name in ("dpt", "dpt-small"):
         from ann3depth_tpu.models.dpt import DPTDepthNet
         return DPTDepthNet.output_hw(input_hw)
     raise KeyError(name)

@@ -66,13 +66,34 @@ def resolved_target_hw(cfg: Config):
 
 
 def create_state(cfg: Config, mesh=None):
-    """Build model + optimizer + (replicated) TrainState."""
+    """Build model + optimizer + TrainState (replicated, or TP-sharded
+    params when cfg.train.tensor_parallel > 1 and the mesh has a "model"
+    axis)."""
     model = registry.build(cfg.model)
     params = steplib.init_params(model, cfg.data.input_hw, seed=cfg.train.seed)
     tx = steplib.make_optimizer(
         cfg.train.learning_rate, cfg.train.warmup_steps, cfg.train.steps,
         b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
         weight_decay=cfg.train.weight_decay, clip_norm=cfg.train.clip_norm)
+    if (mesh is not None and cfg.train.tensor_parallel > 1
+            and "model" in mesh.shape):
+        from ann3depth_tpu.parallel import sharding_rules as rules
+        params = rules.shard_params(params, mesh, tensor_parallel=True)
+        # tx.init/jnp.copy run eagerly on the sharded params, so Adam
+        # moments and the EMA tree inherit the TP shardings; the scalar
+        # leaves (step, schedule/Adam counts) land on a single device and
+        # must be replicated explicitly or jit rejects the device mix.
+        # meshlib.replicate on the whole state would destroy the param
+        # shardings — place only the 0-d leaves.
+        state = steplib.TrainState.create(model.apply, params, tx,
+                                          ema=cfg.train.ema_decay > 0)
+        rep = meshlib.replicated(mesh)
+        scalars_replicated = jax.tree.map(
+            lambda l: (jax.device_put(l, rep)
+                       if getattr(l, "ndim", None) == 0 else l),
+            state.opt_state)
+        return state.replace(step=jax.device_put(state.step, rep),
+                             opt_state=scalars_replicated)
     state = steplib.TrainState.create(model.apply, params, tx,
                                       ema=cfg.train.ema_decay > 0)
     if mesh is not None:
@@ -116,6 +137,45 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             "cache_device is exclusive with use_grain and multi-dataset "
             "interleave — one resident pool, one source")
+    tp = cfg.train.tensor_parallel
+    if tp > 1:
+        # Tensor parallelism (SURVEY §2.3 TP row): 2-D (data, model) mesh;
+        # DPT q/k/v/out + MLP params shard over "model"
+        # (parallel/sharding_rules.py via create_state above).
+        if not cfg.model.name.startswith("dpt"):
+            raise ValueError(
+                f"tensor_parallel={tp} requires a dpt-family model (the "
+                f"TP sharding rules only match the ViT transformer; "
+                f"{cfg.model.name!r} would replicate params and waste the "
+                "model axis)")
+        if cfg.train.zero1:
+            raise ValueError(
+                "tensor_parallel with zero1 is not wired (the ZeRO-1 "
+                "shard_map collectives are data-axis only)")
+        if nproc > 1:
+            raise ValueError(
+                "tensor_parallel with multi-host is not wired "
+                "(shard_params places leaves with device_put)")
+        if mesh is None:
+            devices = jax.devices()
+            if len(devices) % tp:
+                raise ValueError(
+                    f"{len(devices)} devices not divisible by "
+                    f"tensor_parallel={tp}")
+            avail = len(devices) // tp
+            unit = cfg.train.batch_size // accum
+            n_data = avail
+            while unit % n_data:
+                n_data -= 1
+            if n_data < avail:
+                log.warning("microbatch %d not divisible by %d data-axis "
+                            "devices; using dp=%d x tp=%d",
+                            unit, avail, n_data, tp)
+            mesh = meshlib.create_mesh_2d(n_data, tp)
+        elif mesh.shape.get("model", 1) != tp:
+            raise ValueError(
+                f"passed mesh has model axis {mesh.shape.get('model', 1)}"
+                f", config wants tensor_parallel={tp}")
     if mesh is None:
         # Shared auto-mesh policy (meshlib.auto_data_mesh): the per-step
         # unit that shards over "data" is the microbatch when grad_accum>1.
