@@ -46,6 +46,9 @@ def _common_flags(p):
                         "(e.g. 0.999); eval --ema scores it")
     p.add_argument("--steps", type=int)
     p.add_argument("--learning-rate", type=float)
+    p.add_argument("--optimizer", choices=["adamw", "adam", "sgd"],
+                   help="update rule (default adamw; for sgd, --adam-b1 "
+                        "doubles as the momentum coefficient)")
     p.add_argument("--warmup-steps", type=int,
                    help="linear warmup steps before the cosine decay")
     p.add_argument("--weight-decay", type=float,
@@ -93,6 +96,8 @@ def _resolve(args) -> cfglib.Config:
     if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate is not None:
         train["learning_rate"] = args.learning_rate
+    if getattr(args, "optimizer", None):
+        train["optimizer"] = args.optimizer
     if getattr(args, "warmup_steps", None) is not None:
         train["warmup_steps"] = args.warmup_steps
     if getattr(args, "weight_decay", None) is not None:

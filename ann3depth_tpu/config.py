@@ -89,12 +89,14 @@ class TrainConfig:
     steps: int = 1000
     learning_rate: float = ref.DEFAULT_LEARNING_RATE
     warmup_steps: int = 100
-    # AdamW hyperparameters (train/step.make_optimizer; the zero1 path
-    # shares them so --zero1 trains the same optimizer).
+    # Update rule + hyperparameters (train/step.make_optimizer; the zero1
+    # path shares them so --zero1 trains the same optimizer). For sgd,
+    # adam_b1 doubles as the momentum coefficient.
+    optimizer: str = "adamw"       # "adamw" | "adam" | "sgd"
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     weight_decay: float = 0.0
-    clip_norm: float = 1.0         # global-norm gradient clip
+    clip_norm: float = 1.0         # global-norm gradient clip (<=0: off)
     checkpoint_every: int = 500
     log_every: int = 50
     eval_every: int = 500

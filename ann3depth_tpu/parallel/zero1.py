@@ -70,7 +70,8 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
                           si_lambda=0.5, augment=False,
                           resize_precision="highest", learning_rate=1e-4,
                           b1=0.9, b2=0.999, weight_decay=0.0,
-                          clip_norm=1.0, grad_accum=1, ema_decay=0.0):
+                          clip_norm=1.0, grad_accum=1, ema_decay=0.0,
+                          optimizer="adamw"):
     """Build jitted (init_fn, step_fn) for ZeRO-1 DP training over `mesh`.
 
     init_fn(params) -> opt_state with every Adam moment sharded over the
@@ -104,9 +105,11 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
     input_hw, target_hw = tuple(input_hw), tuple(target_hw)
     prec = (jax.lax.Precision.HIGHEST if resize_precision == "highest"
             else jax.lax.Precision.DEFAULT)
-    # Inner optimizer WITHOUT the clip (handled explicitly) — Adam is
-    # elementwise, so running it on flat chunks is exact.
-    tx = optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+    # Inner optimizer WITHOUT the clip (handled explicitly) — all the
+    # supported rules are elementwise, so running on flat chunks is exact.
+    from ann3depth_tpu.train.step import make_inner_optimizer
+    tx = make_inner_optimizer(learning_rate, optimizer, b1=b1, b2=b2,
+                              weight_decay=weight_decay)
     stats_fn = lambda pred_log, depths: losses.depth_metric_stats(  # noqa: E731
         pred_log, depths, si_lambda=si_lambda)
 

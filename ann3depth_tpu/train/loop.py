@@ -74,7 +74,8 @@ def create_state(cfg: Config, mesh=None):
     tx = steplib.make_optimizer(
         cfg.train.learning_rate, cfg.train.warmup_steps, cfg.train.steps,
         b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
-        weight_decay=cfg.train.weight_decay, clip_norm=cfg.train.clip_norm)
+        weight_decay=cfg.train.weight_decay, clip_norm=cfg.train.clip_norm,
+        optimizer=cfg.train.optimizer)
     if (mesh is not None and cfg.train.tensor_parallel > 1
             and "model" in mesh.shape):
         from ann3depth_tpu.parallel import sharding_rules as rules
@@ -236,7 +237,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
             weight_decay=cfg.train.weight_decay,
             clip_norm=cfg.train.clip_norm,
-            grad_accum=accum, ema_decay=ema_decay)
+            grad_accum=accum, ema_decay=ema_decay,
+            optimizer=cfg.train.optimizer)
         params = meshlib.replicate(host_params, mesh)
         state = steplib.TrainState(
             step=meshlib.replicate(jnp.zeros((), jnp.int32), mesh),

@@ -69,9 +69,34 @@ def make_schedule(learning_rate, warmup_steps=0, total_steps=None):
     return learning_rate
 
 
+def make_inner_optimizer(sched, optimizer="adamw", b1=0.9, b2=0.999,
+                         weight_decay=0.0):
+    """The clip-free update rule — shared by make_optimizer (which wraps
+    it in the global-norm clip) and the ZeRO-1 path (which clips
+    explicitly from a psum'd norm and runs this on flat 1/N chunks —
+    exact for any elementwise rule, which all of these are).
+
+    adamw: decoupled weight decay (the default). adam: weight_decay
+    folded out (plain Adam). sgd: momentum = b1, weight decay via
+    additive l2 (classic)."""
+    if optimizer == "adamw":
+        return optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay)
+    if optimizer == "adam":
+        return optax.adam(sched, b1=b1, b2=b2)
+    if optimizer == "sgd":
+        tx = optax.sgd(sched, momentum=b1 if b1 > 0 else None)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        return tx
+    raise ValueError(f"unknown optimizer {optimizer!r}; "
+                     "have adamw | adam | sgd")
+
+
 def make_optimizer(learning_rate, warmup_steps=0, total_steps=None,
-                   b1=0.9, b2=0.999, weight_decay=0.0, clip_norm=1.0):
-    """AdamW with linear warmup + cosine decay; global-norm clipped.
+                   b1=0.9, b2=0.999, weight_decay=0.0, clip_norm=1.0,
+                   optimizer="adamw"):
+    """Configured update rule with linear warmup + cosine decay;
+    global-norm clipped.
 
     clip_norm <= 0 disables clipping (the usual convention) — a literal
     clip-to-0 would silently zero every update and freeze training."""
@@ -80,7 +105,8 @@ def make_optimizer(learning_rate, warmup_steps=0, total_steps=None,
             else optax.identity())
     return optax.chain(
         clip,
-        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay),
+        make_inner_optimizer(sched, optimizer, b1=b1, b2=b2,
+                             weight_decay=weight_decay),
     )
 
 

@@ -86,3 +86,32 @@ def test_cli_optimizer_hyperparameter_flags():
     args = build_parser().parse_args(["train", "--config", "smoke"])
     cfg = _resolve(args)
     assert cfg.train.adam_b1 == 0.9 and cfg.train.clip_norm == 1.0
+
+
+def test_cli_optimizer_choice_resolves():
+    from ann3depth_tpu.cli import build_parser, _resolve
+
+    args = build_parser().parse_args(
+        ["train", "--config", "smoke", "--optimizer", "sgd"])
+    assert _resolve(args).train.optimizer == "sgd"
+    assert (_resolve(build_parser().parse_args(
+        ["train", "--config", "smoke"])).train.optimizer == "adamw")
+
+
+def test_make_inner_optimizer_variants():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ann3depth_tpu.train import step as steplib
+
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.full((3,), 0.5)}
+    for name in ("adamw", "adam", "sgd"):
+        tx = steplib.make_inner_optimizer(1e-2, name, weight_decay=0.01)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        new = optax.apply_updates(params, upd)
+        assert float(jnp.max(jnp.abs(new["w"] - params["w"]))) > 1e-5, name
+    import pytest
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        steplib.make_inner_optimizer(1e-2, "rmsprop")

@@ -167,3 +167,45 @@ def test_zero1_ema_matches_replicated_ema(cpu_mesh):
                     jax.tree.leaves(jax.device_get(ema))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_zero1_sgd_matches_replicated(cpu_mesh):
+    """--optimizer sgd through both trainers: the shared inner-optimizer
+    (steplib.make_inner_optimizer) is elementwise, so the ZeRO-1
+    flat-chunk update equals the replicated one for SGD too."""
+    batch = 8
+    model, params, img, dep, hw = _setup(batch)
+    rng = jax.random.key(0)
+    sh = meshlib.shard_batch({"i": img, "d": dep}, cpu_mesh)
+    rng_r = jax.device_put(rng, meshlib.replicated(cpu_mesh))
+
+    with jax.default_matmul_precision("highest"):
+        tx = steplib.make_optimizer(1e-3, optimizer="sgd")
+        state = steplib.TrainState.create(model.apply,
+                                          jax.tree.map(jnp.copy, params), tx)
+        state = meshlib.replicate(state, cpu_mesh)
+        kw = dict(**hw, si_lambda=0.5, augment=False,
+                  resize_precision="highest")
+        for _ in range(2):
+            state, m_ref = steplib.train_step(state, sh["i"], sh["d"],
+                                              rng_r, **kw)
+
+        init_fn, step_fn = zero1.make_zero1_train_step(
+            cpu_mesh, model.apply, params, **hw, si_lambda=0.5,
+            augment=False, resize_precision="highest", learning_rate=1e-3,
+            optimizer="sgd")
+        p = meshlib.replicate(jax.tree.map(jnp.copy, params), cpu_mesh)
+        opt = init_fn(p)
+        step_no = jax.device_put(jnp.zeros((), jnp.int32),
+                                 meshlib.replicated(cpu_mesh))
+        for _ in range(2):
+            p, opt, step_no, m_z = step_fn(p, opt, step_no, sh["i"],
+                                           sh["d"], rng_r)
+
+    assert float(m_ref["loss"]) == pytest.approx(float(m_z["loss"]),
+                                                 rel=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(p))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-3)
