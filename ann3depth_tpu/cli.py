@@ -46,6 +46,9 @@ def _common_flags(p):
                         "(e.g. 0.999); eval --ema scores it")
     p.add_argument("--steps", type=int)
     p.add_argument("--learning-rate", type=float)
+    p.add_argument("--loss", choices=["si", "l2", "berhu"],
+                   help="training loss: scale-invariant log (default), "
+                        "linear-depth MSE, or reverse Huber")
     p.add_argument("--optimizer", choices=["adamw", "adam", "sgd"],
                    help="update rule (default adamw; for sgd, --adam-b1 "
                         "doubles as the momentum coefficient)")
@@ -96,6 +99,8 @@ def _resolve(args) -> cfglib.Config:
     if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate is not None:
         train["learning_rate"] = args.learning_rate
+    if getattr(args, "loss", None):
+        train["loss"] = args.loss
     if getattr(args, "optimizer", None):
         train["optimizer"] = args.optimizer
     if getattr(args, "warmup_steps", None) is not None:

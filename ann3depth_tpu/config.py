@@ -104,6 +104,12 @@ class TrainConfig:
     resume: bool = False
     tensorboard: bool = False  # also write tf.summary event files
     seed: int = 0
+    # Training loss (train/losses.py): "si" (Eigen eq. 4 scale-invariant
+    # log loss, the reference's [B:5] default), "l2" (linear-depth MSE —
+    # the 'standard L2 variant' of SURVEY §2.1's loss row), "berhu"
+    # (reverse Huber, Laina et al. 2016). Eval error metrics are
+    # loss-independent; the logged `loss` follows this choice.
+    loss: str = "si"
     si_lambda: float = ref.SI_LOSS_LAMBDA
     # Profiling (SURVEY §5 "Tracing / profiling"): when profile_dir is set,
     # the train loop wraps a window of hot-loop steps (after compile +

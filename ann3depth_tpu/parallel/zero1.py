@@ -71,7 +71,7 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
                           resize_precision="highest", learning_rate=1e-4,
                           b1=0.9, b2=0.999, weight_decay=0.0,
                           clip_norm=1.0, grad_accum=1, ema_decay=0.0,
-                          optimizer="adamw"):
+                          optimizer="adamw", loss_kind="si"):
     """Build jitted (init_fn, step_fn) for ZeRO-1 DP training over `mesh`.
 
     init_fn(params) -> opt_state with every Adam moment sharded over the
@@ -111,7 +111,7 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
     tx = make_inner_optimizer(learning_rate, optimizer, b1=b1, b2=b2,
                               weight_decay=weight_decay)
     stats_fn = lambda pred_log, depths: losses.depth_metric_stats(  # noqa: E731
-        pred_log, depths, si_lambda=si_lambda)
+        pred_log, depths, si_lambda=si_lambda, loss_kind=loss_kind)
 
     def per_device_init(params):
         idx = jax.lax.axis_index(DATA_AXIS)
@@ -128,8 +128,8 @@ def make_zero1_train_step(mesh, apply_fn, params, *, input_hw, target_hw,
 
         def loss_fn(p, images, depths):
             pred_log = apply_fn({"params": p}, images)
-            return losses.scale_invariant_log_loss(
-                pred_log, depths, lam=si_lambda), pred_log
+            return losses.depth_loss(pred_log, depths, kind=loss_kind,
+                                     lam=si_lambda), pred_log
 
         def one(p, img, dep, key):
             images, depths = preprocess.preprocess_batch(

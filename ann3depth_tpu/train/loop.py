@@ -230,6 +230,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             mesh, model.apply, host_params,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
             si_lambda=cfg.train.si_lambda, augment=cfg.data.augment,
+            loss_kind=cfg.train.loss,
             resize_precision="default",
             learning_rate=steplib.make_schedule(
                 cfg.train.learning_rate, cfg.train.warmup_steps,
@@ -342,6 +343,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     step_kwargs = dict(input_hw=cfg.data.input_hw,
                        target_hw=resolved_target_hw(cfg),
                        si_lambda=cfg.train.si_lambda, augment=cfg.data.augment,
+                       loss_kind=cfg.train.loss,
                        use_pallas=_use_pallas(cfg),
                        # XLA preprocess emits the stem's s2d layout directly
                        # for models that accept it (+~5% step time, encdec).
@@ -536,7 +538,8 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
         stats = steplib.eval_stats_step(
             state, img_u8, depth,
             input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
-            si_lambda=cfg.train.si_lambda, use_pallas=_use_pallas(cfg))
+            si_lambda=cfg.train.si_lambda, use_pallas=_use_pallas(cfg),
+            loss_kind=cfg.train.loss)
         if jax.default_backend() == "cpu":
             # same CPU rendezvous-starvation guard as the train loop
             jax.block_until_ready(stats)

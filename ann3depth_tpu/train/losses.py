@@ -62,7 +62,61 @@ def scale_invariant_log_loss(pred_log, target, mask=None, lam=ref.SI_LOSS_LAMBDA
     return jnp.mean(per_image_si_loss(pred_log, target, mask, lam))
 
 
-def depth_metric_stats(pred_log, target, mask=None, si_lambda=None):
+def _linear_residuals(pred_log, target, mask):
+    """(|pred - gt| in meters zeroed at invalid pixels, valid mask, n)."""
+    pred_log = jnp.asarray(pred_log, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    if pred_log.shape != target.shape:
+        pred_log = pred_log.reshape(target.shape)
+    valid = _flatten_mask(target, mask)
+    r = jnp.where(valid, jnp.exp(pred_log) - target, 0.0)
+    axes = tuple(range(1, r.ndim))
+    n = jnp.maximum(jnp.sum(valid, axis=axes).astype(jnp.float32), 1.0)
+    return r, axes, n
+
+
+def per_image_l2_loss(pred_log, target, mask=None):
+    """[B] mean squared error in LINEAR depth (meters^2) per image — the
+    'standard L2 variant' of the reference's loss row (SURVEY §2.1)."""
+    r, axes, n = _linear_residuals(pred_log, target, mask)
+    return jnp.sum(r * r, axis=axes) / n
+
+
+def per_image_berhu_loss(pred_log, target, mask=None):
+    """[B] reverse-Huber (BerHu) loss in linear depth (Laina et al. 2016,
+    'Deeper Depth Prediction with Fully Convolutional Residual
+    Networks'): L1 below the cutoff c, (r^2 + c^2) / (2c) above, with
+    c = 0.2 * max|r| per image — L1's robustness near zero, L2's
+    gradient on large residuals."""
+    r, axes, n = _linear_residuals(pred_log, target, mask)
+    a = jnp.abs(r)
+    c = jnp.maximum(0.2 * jnp.max(a, axis=axes, keepdims=True), ref.DEPTH_EPS)
+    per_px = jnp.where(a <= c, a, (a * a + c * c) / (2.0 * c))
+    return jnp.sum(per_px, axis=axes) / n
+
+
+def per_image_depth_loss(pred_log, target, mask=None, *, kind="si",
+                         lam=ref.SI_LOSS_LAMBDA):
+    """[B] per-image training loss, dispatched by kind:
+    'si' (Eigen eq. 4 on log-depth), 'l2' (linear MSE), 'berhu'."""
+    if kind == "si":
+        return per_image_si_loss(pred_log, target, mask, lam)
+    if kind == "l2":
+        return per_image_l2_loss(pred_log, target, mask)
+    if kind == "berhu":
+        return per_image_berhu_loss(pred_log, target, mask)
+    raise ValueError(f"unknown loss kind {kind!r}; have si | l2 | berhu")
+
+
+def depth_loss(pred_log, target, mask=None, *, kind="si",
+               lam=ref.SI_LOSS_LAMBDA):
+    """Scalar training loss: mean over batch of per-image losses."""
+    return jnp.mean(per_image_depth_loss(pred_log, target, mask, kind=kind,
+                                         lam=lam))
+
+
+def depth_metric_stats(pred_log, target, mask=None, si_lambda=None,
+                       loss_kind="si"):
     """Sufficient statistics for dataset-level depth metrics [B:2].
 
     Returns a dict of f32 scalars that SUM across batches; pass the summed
@@ -71,8 +125,9 @@ def depth_metric_stats(pred_log, target, mask=None, si_lambda=None):
     dataset RMSE is the sqrt of the global mean squared error over all
     valid pixels of the split — not a mean of per-batch RMSEs.
 
-    si_lambda, if given, also accumulates the per-image Eigen loss
-    (sum_si_loss / n_images at finalize — matching the training loss).
+    si_lambda, if given, also accumulates the per-image TRAINING loss of
+    `loss_kind` (sum_si_loss / n_images at finalize — the key name is
+    historical; it holds whichever loss the run trains: si | l2 | berhu).
     """
     pred_log = jnp.asarray(pred_log, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
@@ -101,8 +156,8 @@ def depth_metric_stats(pred_log, target, mask=None, si_lambda=None):
     }
     if si_lambda is not None:
         stats["n_images"] = jnp.asarray(target.shape[0], jnp.float32)
-        stats["sum_si_loss"] = jnp.sum(
-            per_image_si_loss(pred_log, target, mask, si_lambda))
+        stats["sum_si_loss"] = jnp.sum(per_image_depth_loss(
+            pred_log, target, mask, kind=loss_kind, lam=si_lambda))
     return stats
 
 

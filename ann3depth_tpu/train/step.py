@@ -110,10 +110,14 @@ def make_optimizer(learning_rate, warmup_steps=0, total_steps=None,
     )
 
 
-def loss_fn(params, apply_fn, images, depths, si_lambda):
-    """images: [B,h,w,3] normalized f32; depths: [B,h',w'] linear meters."""
+def loss_fn(params, apply_fn, images, depths, si_lambda, loss_kind="si"):
+    """images: [B,h,w,3] normalized f32; depths: [B,h',w'] linear meters.
+
+    loss_kind: "si" (Eigen eq. 4, the default), "l2" (linear-depth MSE),
+    "berhu" (reverse Huber) — losses.depth_loss."""
     pred_log = apply_fn({"params": params}, images)
-    loss = losses.scale_invariant_log_loss(pred_log, depths, lam=si_lambda)
+    loss = losses.depth_loss(pred_log, depths, kind=loss_kind,
+                             lam=si_lambda)
     return loss, pred_log
 
 
@@ -184,13 +188,13 @@ def accumulate_microbatches(one, img_u8, depth_raw, *, grad_accum, augment,
     jax.jit,
     static_argnames=("input_hw", "target_hw", "si_lambda", "augment",
                      "use_pallas", "resize_precision", "emit_s2d",
-                     "grad_accum", "ema_decay"),
+                     "grad_accum", "ema_decay", "loss_kind"),
     donate_argnames=("state",),
 )
 def train_step(state: TrainState, img_u8, depth_raw, rng, *,
                input_hw, target_hw, si_lambda=0.5, augment=False,
                use_pallas=False, resize_precision="default", emit_s2d=0,
-               grad_accum=1, ema_decay=0.0):
+               grad_accum=1, ema_decay=0.0, loss_kind="si"):
     """One fused device step: preprocess -> fwd -> bwd -> update.
 
     img_u8:    [B, H, W, 3] raw uint8 frames (any source size)
@@ -221,14 +225,15 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
             state, img_u8, depth_raw, rng, input_hw=input_hw,
             target_hw=target_hw, si_lambda=si_lambda, augment=augment,
             use_pallas=use_pallas, prec=prec, emit_s2d=emit_s2d,
-            grad_accum=grad_accum, ema_decay=ema_decay)
+            grad_accum=grad_accum, ema_decay=ema_decay,
+            loss_kind=loss_kind)
     key = jax.random.fold_in(rng, state.step) if augment else None
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=key,
         use_pallas=use_pallas, precision=prec, emit_s2d=emit_s2d)
 
     (loss, pred_log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, state.apply_fn, images, depths, si_lambda)
+        state.params, state.apply_fn, images, depths, si_lambda, loss_kind)
 
     updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
@@ -246,7 +251,7 @@ def train_step(state: TrainState, img_u8, depth_raw, rng, *,
 
 def _train_step_accum(state, img_u8, depth_raw, rng, *, input_hw, target_hw,
                       si_lambda, augment, use_pallas, prec, emit_s2d,
-                      grad_accum, ema_decay=0.0):
+                      grad_accum, ema_decay=0.0, loss_kind="si"):
     """Gradient-accumulation body (see train_step docstring). Traced under
     train_step's jit; grad_accum is static there."""
     if img_u8.shape[0] % grad_accum:
@@ -254,17 +259,19 @@ def _train_step_accum(state, img_u8, depth_raw, rng, *, input_hw, target_hw,
             f"global batch {img_u8.shape[0]} is not divisible by "
             f"grad_accum={grad_accum}")
     base_key = jax.random.fold_in(rng, state.step) if augment else None
-    # si_lambda included so `loss` finalizes to the mean per-image Eigen
-    # loss over the full effective batch, same as accum=1.
+    # si_lambda/loss_kind included so `loss` finalizes to the mean
+    # per-image training loss over the full effective batch (same as
+    # accum=1).
     stats_fn = functools.partial(losses.depth_metric_stats,
-                                 si_lambda=si_lambda)
+                                 si_lambda=si_lambda, loss_kind=loss_kind)
 
     def one(img, dep, key):
         images, depths = preprocess.preprocess_batch(
             img, dep, input_hw, target_hw, key=key,
             use_pallas=use_pallas, precision=prec, emit_s2d=emit_s2d)
         grads, pred_log = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.apply_fn, images, depths, si_lambda)
+            state.params, state.apply_fn, images, depths, si_lambda,
+            loss_kind)
         return grads, stats_fn(pred_log, depths)
 
     grads, stats = accumulate_microbatches(
@@ -289,9 +296,11 @@ def _train_step_accum(state, img_u8, depth_raw, rng, *, input_hw, target_hw,
 
 
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
-                                             "si_lambda", "use_pallas"))
+                                             "si_lambda", "use_pallas",
+                                             "loss_kind"))
 def eval_stats_step(state: TrainState, img_u8, depth_raw, *, input_hw,
-                    target_hw, si_lambda=0.5, use_pallas=False):
+                    target_hw, si_lambda=0.5, use_pallas=False,
+                    loss_kind="si"):
     """Eval: preprocess -> forward -> SUFFICIENT STATISTICS (no augment).
 
     Returns summable f32 scalars (losses.depth_metric_stats); the eval loop
@@ -303,7 +312,8 @@ def eval_stats_step(state: TrainState, img_u8, depth_raw, *, input_hw,
         img_u8, depth_raw, input_hw, target_hw, key=None,
         use_pallas=use_pallas)
     pred_log = state.apply_fn({"params": state.params}, images)
-    return losses.depth_metric_stats(pred_log, depths, si_lambda=si_lambda)
+    return losses.depth_metric_stats(pred_log, depths, si_lambda=si_lambda,
+                                     loss_kind=loss_kind)
 
 
 def eval_step(state: TrainState, img_u8, depth_raw, *, input_hw, target_hw,

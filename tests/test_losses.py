@@ -125,3 +125,92 @@ def test_metrics_gradient_free_usage():
     g = jax.grad(lambda p: losses.scale_invariant_log_loss(p, target))(
         jnp.zeros((1, 4, 4)))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_l2_loss_numpy_oracle():
+    """per_image_l2_loss == mean squared LINEAR-depth error over valid
+    pixels, per image (r3: the 'standard L2 variant' of SURVEY §2.1)."""
+    rng = np.random.default_rng(0)
+    target = rng.uniform(1.0, 50.0, (3, 6, 8)).astype(np.float32)
+    pred_log = np.log(target) + rng.normal(0, 0.2, target.shape).astype(
+        np.float32)
+
+    got = np.asarray(losses.per_image_l2_loss(pred_log[..., None], target))
+    want = np.mean((np.exp(pred_log) - target) ** 2, axis=(1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_berhu_loss_numpy_oracle_and_regimes():
+    """BerHu == L1 below c, (r^2+c^2)/(2c) above, c = 0.2 max|r| per
+    image; continuous at the cutoff."""
+    rng = np.random.default_rng(1)
+    target = rng.uniform(1.0, 50.0, (2, 5, 5)).astype(np.float32)
+    pred_log = np.log(target) + rng.normal(0, 0.3, target.shape).astype(
+        np.float32)
+
+    got = np.asarray(losses.per_image_berhu_loss(pred_log[..., None],
+                                                 target))
+    r = np.abs(np.exp(pred_log) - target)
+    c = 0.2 * r.reshape(2, -1).max(axis=1)[:, None, None]
+    per_px = np.where(r <= c, r, (r * r + c * c) / (2 * c))
+    want = per_px.mean(axis=(1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # both regimes actually exercised
+    assert (r > c).any() and (r <= c).any()
+
+
+def test_depth_loss_dispatch_and_unknown_kind():
+    import pytest
+
+    rng = np.random.default_rng(2)
+    target = rng.uniform(1.0, 50.0, (2, 4, 4)).astype(np.float32)
+    pred_log = np.log(target).astype(np.float32)
+
+    # perfect prediction: every kind is ~0
+    for kind in ("si", "l2", "berhu"):
+        assert float(losses.depth_loss(pred_log, target, kind=kind)) == (
+            pytest.approx(0.0, abs=1e-5))
+    with pytest.raises(ValueError, match="unknown loss kind"):
+        losses.depth_loss(pred_log, target, kind="huber")
+
+
+def test_train_step_with_each_loss_kind_decreases():
+    """The loss choice threads through the jitted step and actually
+    trains (gradients flow through exp() for the linear-depth losses)."""
+    import jax
+
+    from ann3depth_tpu.config import ModelConfig
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.train import step as steplib
+
+    hw = (48, 64)
+    thw = registry.output_hw("small", hw)
+    rng_np = np.random.default_rng(3)
+    img = rng_np.integers(0, 256, (4, 56, 72, 3), dtype=np.uint8)
+    dep = rng_np.uniform(1.0, 20.0, (4, 28, 36)).astype(np.float32)
+    model = registry.build(ModelConfig(name="small",
+                                       compute_dtype="float32"))
+    key = jax.random.key(0)
+    for kind in ("l2", "berhu"):
+        params = steplib.init_params(model, hw, seed=0)
+        tx = steplib.make_optimizer(3e-4)
+        state = steplib.TrainState.create(model.apply, params, tx)
+        first = last = None
+        for _ in range(10):
+            state, m = steplib.train_step(
+                state, img, dep, key, input_hw=hw, target_hw=thw,
+                si_lambda=0.5, loss_kind=kind)
+            last = float(m["loss"])
+            first = first if first is not None else last
+        assert np.isfinite(last), kind
+        assert last < first, (kind, first, last)
+
+
+def test_cli_loss_flag_resolves():
+    from ann3depth_tpu.cli import build_parser, _resolve
+
+    args = build_parser().parse_args(
+        ["train", "--config", "smoke", "--loss", "berhu"])
+    assert _resolve(args).train.loss == "berhu"
+    assert (_resolve(build_parser().parse_args(
+        ["train", "--config", "smoke"])).train.loss == "si")
