@@ -49,6 +49,9 @@ def _common_flags(p):
     p.add_argument("--loss", choices=["si", "l2", "berhu"],
                    help="training loss: scale-invariant log (default), "
                         "linear-depth MSE, or reverse Huber")
+    p.add_argument("--schedule", choices=["cosine", "constant"],
+                   help="lr schedule: warmup+cosine decay (default) or a "
+                        "flat lr after warmup (the reference regime)")
     p.add_argument("--optimizer", choices=["adamw", "adam", "sgd"],
                    help="update rule (default adamw; for sgd, --adam-b1 "
                         "doubles as the momentum coefficient)")
@@ -103,6 +106,8 @@ def _resolve(args) -> cfglib.Config:
         train["loss"] = args.loss
     if getattr(args, "optimizer", None):
         train["optimizer"] = args.optimizer
+    if getattr(args, "schedule", None):
+        train["schedule"] = args.schedule
     if getattr(args, "warmup_steps", None) is not None:
         train["warmup_steps"] = args.warmup_steps
     if getattr(args, "weight_decay", None) is not None:

@@ -93,6 +93,9 @@ class TrainConfig:
     # path shares them so --zero1 trains the same optimizer). For sgd,
     # adam_b1 doubles as the momentum coefficient.
     optimizer: str = "adamw"       # "adamw" | "adam" | "sgd"
+    # "cosine" (warmup + cosine decay to ~0 over `steps`) or "constant"
+    # (flat lr after warmup — the TF1-era reference regime).
+    schedule: str = "cosine"
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     weight_decay: float = 0.0

@@ -75,7 +75,7 @@ def create_state(cfg: Config, mesh=None):
         cfg.train.learning_rate, cfg.train.warmup_steps, cfg.train.steps,
         b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
         weight_decay=cfg.train.weight_decay, clip_norm=cfg.train.clip_norm,
-        optimizer=cfg.train.optimizer)
+        optimizer=cfg.train.optimizer, schedule=cfg.train.schedule)
     if (mesh is not None and cfg.train.tensor_parallel > 1
             and "model" in mesh.shape):
         from ann3depth_tpu.parallel import sharding_rules as rules
@@ -234,7 +234,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             resize_precision="default",
             learning_rate=steplib.make_schedule(
                 cfg.train.learning_rate, cfg.train.warmup_steps,
-                cfg.train.steps),
+                cfg.train.steps, cfg.train.schedule),
             b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
             weight_decay=cfg.train.weight_decay,
             clip_norm=cfg.train.clip_norm,

@@ -53,16 +53,24 @@ class TrainState(struct.PyTreeNode):
                    ema_params=jax.tree.map(jnp.copy, params) if ema else None)
 
 
-def make_schedule(learning_rate, warmup_steps=0, total_steps=None):
-    """Linear warmup + cosine decay schedule (or the constant lr).
+def make_schedule(learning_rate, warmup_steps=0, total_steps=None,
+                  schedule="cosine"):
+    """Learning-rate schedule; shared by the replicated optimizer below
+    and the ZeRO-1 path (parallel/zero1.py) so --zero1 trains the same.
 
-    total_steps set -> cosine decay over the run, with warmup_steps of
-    linear warmup first (0 = no warmup, decay only — `--warmup-steps 0`
-    must disable the warmup, not silently the whole schedule).
-    total_steps None -> constant learning rate (tests/benches).
-
-    Shared by the replicated optimizer below and the ZeRO-1 path
-    (parallel/zero1.py) so --zero1 trains on the same schedule."""
+    schedule="cosine" (default): linear warmup then cosine decay over
+    total_steps (warmup_steps=0 disables only the warmup — never the
+    decay). total_steps None -> constant lr (tests/benches).
+    schedule="constant": fixed lr, with linear warmup if warmup_steps>0
+    (the TF1-era reference regime — a flat Adam learning rate)."""
+    if schedule == "constant":
+        if warmup_steps:
+            return optax.schedules.warmup_constant_schedule(
+                0.0, learning_rate, warmup_steps)
+        return learning_rate
+    if schedule != "cosine":
+        raise ValueError(f"unknown schedule {schedule!r}; "
+                         "have cosine | constant")
     if total_steps:
         return optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
@@ -94,13 +102,14 @@ def make_inner_optimizer(sched, optimizer="adamw", b1=0.9, b2=0.999,
 
 def make_optimizer(learning_rate, warmup_steps=0, total_steps=None,
                    b1=0.9, b2=0.999, weight_decay=0.0, clip_norm=1.0,
-                   optimizer="adamw"):
+                   optimizer="adamw", schedule="cosine"):
     """Configured update rule with linear warmup + cosine decay;
     global-norm clipped.
 
     clip_norm <= 0 disables clipping (the usual convention) — a literal
     clip-to-0 would silently zero every update and freeze training."""
-    sched = make_schedule(learning_rate, warmup_steps, total_steps)
+    sched = make_schedule(learning_rate, warmup_steps, total_steps,
+                          schedule)
     clip = (optax.clip_by_global_norm(clip_norm) if clip_norm > 0
             else optax.identity())
     return optax.chain(

@@ -115,3 +115,23 @@ def test_make_inner_optimizer_variants():
     import pytest
     with pytest.raises(ValueError, match="unknown optimizer"):
         steplib.make_inner_optimizer(1e-2, "rmsprop")
+
+
+def test_schedule_constant_and_cli():
+    import pytest
+
+    from ann3depth_tpu.cli import build_parser, _resolve
+    from ann3depth_tpu.train import step as steplib
+
+    sched = steplib.make_schedule(1e-3, warmup_steps=10, total_steps=1000,
+                                  schedule="constant")
+    assert float(sched(0)) == pytest.approx(0.0, abs=1e-9)   # warming up
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(sched(999)) == pytest.approx(1e-3, rel=1e-6)  # stays flat
+    assert steplib.make_schedule(1e-3, schedule="constant") == 1e-3
+    with pytest.raises(ValueError, match="unknown schedule"):
+        steplib.make_schedule(1e-3, schedule="linear")
+
+    args = build_parser().parse_args(
+        ["train", "--config", "smoke", "--schedule", "constant"])
+    assert _resolve(args).train.schedule == "constant"
