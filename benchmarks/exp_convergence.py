@@ -50,10 +50,10 @@ def _device_pool(ds):
 @functools.partial(
     jax.jit, donate_argnames=("state",),
     static_argnames=("input_hw", "target_hw", "si_lambda", "augment",
-                     "emit_s2d", "ema_decay"))
+                     "emit_s2d", "ema_decay", "loss_kind"))
 def _pool_train_step(state, pool_img, pool_dep, idx, rng, *, input_hw,
                      target_hw, si_lambda, augment, emit_s2d,
-                     ema_decay=0.0):
+                     ema_decay=0.0, loss_kind="si"):
     """Gather a batch from the HBM pool and run the fused train step —
     one device program per step, no host feed."""
     from ann3depth_tpu.train import step as steplib
@@ -63,11 +63,11 @@ def _pool_train_step(state, pool_img, pool_dep, idx, rng, *, input_hw,
     return steplib.train_step.__wrapped__(
         state, img, dep, rng, input_hw=input_hw, target_hw=target_hw,
         si_lambda=si_lambda, augment=augment, emit_s2d=emit_s2d,
-        ema_decay=ema_decay)
+        ema_decay=ema_decay, loss_kind=loss_kind)
 
 
 def _train_on_pool(model, cfg, pool, steps, batch, emit_s2d, seed=0,
-                   log_every=200, ema_decay=0.0):
+                   log_every=200, ema_decay=0.0, loss_kind="si"):
     import jax
 
     from ann3depth_tpu.train import step as steplib
@@ -94,7 +94,7 @@ def _train_on_pool(model, cfg, pool, steps, batch, emit_s2d, seed=0,
             state, pool_img, pool_dep, idx, rng, input_hw=input_hw,
             target_hw=target_hw, si_lambda=cfg.train.si_lambda,
             augment=cfg.data.augment, emit_s2d=emit_s2d,
-            ema_decay=ema_decay)
+            ema_decay=ema_decay, loss_kind=loss_kind)
         if (i + 1) % log_every == 0 or i == steps - 1:
             m = jax.device_get(metrics)
             curve.append({"step": i + 1, "loss": round(float(m["loss"]), 5),
