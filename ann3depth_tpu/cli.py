@@ -190,6 +190,13 @@ def build_parser():
                     help="where <stem>_depth.npy and <stem>_depth.png go")
     pi.add_argument("--no-png", action="store_true",
                     help="skip the colormapped PNG, write only the .npy")
+    pi.add_argument("--ply", action="store_true",
+                    help="also export a 3-D point cloud (<stem>_cloud.ply: "
+                         "depth back-projected through a pinhole camera, "
+                         "colored from the input image)")
+    pi.add_argument("--fov-deg", type=float, default=55.0,
+                    help="horizontal field of view for --ply "
+                         "back-projection (default 55)")
     pi.add_argument("--ema", action="store_true",
                     help="use the EMA weights from the checkpoint")
 
@@ -357,6 +364,16 @@ def main(argv=None):
                 png = os.path.join(args.out_dir, f"{stem}_depth.png")
                 viz.save_png(png, viz.colormap_depth(depth))
                 rec["depth_png"] = png
+            if args.ply:
+                from ann3depth_tpu.utils import pointcloud
+
+                h, w = depth.shape[:2]
+                colors = np.asarray(
+                    Image.fromarray(img).resize((w, h), Image.BILINEAR))
+                ply = os.path.join(args.out_dir, f"{stem}_cloud.ply")
+                rec["ply"] = ply
+                rec["ply_points"] = pointcloud.depth_to_ply(
+                    ply, depth, rgb=colors, fov_deg=args.fov_deg)
             outputs.append(rec)
         print(json.dumps(outputs))
         return 0

@@ -132,7 +132,7 @@ def test_cli_infer_writes_depth_files(tmp_path, capsys):
     Image.fromarray(img).save(tmp_path / "frame.jpg")
     rc = main(["infer", "--config", "smoke", "--ckpt-dir",
                str(tmp_path / "c"), "--image", str(tmp_path / "frame.jpg"),
-               "--out-dir", str(tmp_path / "out")])
+               "--out-dir", str(tmp_path / "out"), "--ply"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out) == 1
@@ -140,6 +140,13 @@ def test_cli_infer_writes_depth_files(tmp_path, capsys):
     assert depth.ndim == 2 and np.isfinite(depth).all() and (depth > 0).all()
     import os
     assert os.path.exists(out[0]["depth_png"])
+    # --ply: colored point cloud, one point per (valid) depth pixel
+    from ann3depth_tpu.utils import pointcloud
+    pts, colors = pointcloud.read_ply(out[0]["ply"])
+    assert out[0]["ply_points"] == pts.shape[0] == depth.size
+    assert colors.shape == (depth.size, 3)
+    np.testing.assert_allclose(np.sort(pts[:, 2]), np.sort(depth.ravel()),
+                               rtol=1e-6)
 
 
 def test_cli_train_smoke(tmp_path, capsys):
