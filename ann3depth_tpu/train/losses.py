@@ -18,6 +18,7 @@ trivially differentiable; reductions are at f32 regardless of compute dtype.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ann3depth_tpu.compat import reference_spec as ref
@@ -90,7 +91,12 @@ def per_image_berhu_loss(pred_log, target, mask=None):
     gradient on large residuals."""
     r, axes, n = _linear_residuals(pred_log, target, mask)
     a = jnp.abs(r)
-    c = jnp.maximum(0.2 * jnp.max(a, axis=axes, keepdims=True), ref.DEPTH_EPS)
+    # The cutoff is a per-image threshold, not a differentiable quantity:
+    # without stop_gradient, grad flows through jnp.max into the worst
+    # pixel's L2 branch with a NEGATIVE sign (d/dc of (a^2+c^2)/(2c) is
+    # (c^2-a^2)/(2c^2) < 0 for a > c), rewarding a larger worst residual.
+    c = jax.lax.stop_gradient(
+        jnp.maximum(0.2 * jnp.max(a, axis=axes, keepdims=True), ref.DEPTH_EPS))
     per_px = jnp.where(a <= c, a, (a * a + c * c) / (2.0 * c))
     return jnp.sum(per_px, axis=axes) / n
 

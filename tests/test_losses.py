@@ -159,6 +159,34 @@ def test_berhu_loss_numpy_oracle_and_regimes():
     assert (r > c).any() and (r <= c).any()
 
 
+def test_berhu_cutoff_is_not_differentiated():
+    """The per-image cutoff c = 0.2*max|r| is a threshold, not a loss
+    term: without stop_gradient, grad flows through jnp.max into the
+    worst pixel's L2 branch with a NEGATIVE sign (d/dc of (a^2+c^2)/(2c)
+    = (c^2-a^2)/(2c^2) < 0 for a > c), so training would push the worst
+    residual FURTHER from ground truth."""
+    import jax
+    import jax.numpy as jnp
+
+    # One image: a dominant residual (sets c) plus many above-cutoff
+    # pixels whose L2 branch depends on c.
+    target = np.full((1, 1, 101), 10.0, np.float32)
+    pred = np.full((1, 1, 101), 13.0, np.float32)   # r = 3 everywhere
+    pred[0, 0, 0] = 20.0                            # r = 10 -> c = 2
+
+    def loss(pred_lin):
+        return jnp.sum(losses.per_image_berhu_loss(
+            jnp.log(pred_lin), jnp.asarray(target)))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(pred)))
+    # Increasing the worst pixel's prediction (already above GT) must
+    # increase the loss.
+    assert g[0, 0, 0] > 0, f"worst-pixel gradient {g[0, 0, 0]} rewards " \
+                           "growing the max residual (cutoff leaked grad)"
+    # Ordinary above-cutoff pixels keep their positive gradient too.
+    assert (g[0, 0, 1:] > 0).all()
+
+
 def test_depth_loss_dispatch_and_unknown_kind():
     import pytest
 
