@@ -90,6 +90,12 @@ def make_inner_optimizer(sched, optimizer="adamw", b1=0.9, b2=0.999,
     if optimizer == "adamw":
         return optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay)
     if optimizer == "adam":
+        if weight_decay:
+            raise ValueError(
+                "--optimizer adam ignores weight decay (plain Adam has "
+                f"none); got weight_decay={weight_decay}. Use adamw for "
+                "decoupled decay or sgd for additive L2, or pass "
+                "--weight-decay 0.")
         return optax.adam(sched, b1=b1, b2=b2)
     if optimizer == "sgd":
         tx = optax.sgd(sched, momentum=b1 if b1 > 0 else None)

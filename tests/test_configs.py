@@ -107,14 +107,18 @@ def test_make_inner_optimizer_variants():
 
     params = {"w": jnp.ones((3,))}
     grads = {"w": jnp.full((3,), 0.5)}
-    for name in ("adamw", "adam", "sgd"):
-        tx = steplib.make_inner_optimizer(1e-2, name, weight_decay=0.01)
+    for name, decay in (("adamw", 0.01), ("adam", 0.0), ("sgd", 0.01)):
+        tx = steplib.make_inner_optimizer(1e-2, name, weight_decay=decay)
         upd, _ = tx.update(grads, tx.init(params), params)
         new = optax.apply_updates(params, upd)
         assert float(jnp.max(jnp.abs(new["w"] - params["w"]))) > 1e-5, name
     import pytest
     with pytest.raises(ValueError, match="unknown optimizer"):
         steplib.make_inner_optimizer(1e-2, "rmsprop")
+    # Plain Adam has no weight decay; silently dropping a user-supplied
+    # --weight-decay would train unregularized while claiming otherwise.
+    with pytest.raises(ValueError, match="weight decay"):
+        steplib.make_inner_optimizer(1e-2, "adam", weight_decay=0.01)
 
 
 def test_schedule_constant_and_cli():
