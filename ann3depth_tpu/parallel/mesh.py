@@ -47,17 +47,37 @@ def create_mesh_2d(n_data: int, n_model: int,
     return Mesh(arr, (DATA_AXIS, "model"))
 
 
-def auto_data_mesh(unit_batch: int) -> Mesh:
-    """Widest 1-D data mesh that divides `unit_batch` (the per-step unit
+def auto_data_mesh(unit_batch: int, tp: int = 1) -> Mesh:
+    """Widest data mesh that divides `unit_batch` (the per-step unit
     that shards over "data" — the microbatch when grad_accum>1).
 
     Single policy shared by train() and evaluate() so the two can never
-    silently pick different meshes. Single-process hosts shrink to the
-    widest divisor (the reference's small-batch configs must keep working
-    anywhere); multi-process jobs must use every process's devices, so
-    divisibility is required instead.
+    silently pick different meshes. Single-process hosts shrink the data
+    axis to the widest divisor (the reference's small-batch configs must
+    keep working anywhere); multi-process jobs must use every process's
+    devices, so divisibility is required instead.
+
+    tp > 1 reserves a minor "model" axis of that width (dp x tp, DPT TP
+    path) and shrinks the data axis within the remaining devices.
     """
     devices = jax.devices()
+    if tp > 1:
+        if jax.process_count() > 1:
+            raise ValueError("tensor_parallel auto-mesh is single-host "
+                             "only (loop rejects tp with multi-host)")
+        if len(devices) % tp:
+            raise ValueError(f"{len(devices)} devices not divisible by "
+                             f"tensor_parallel={tp}")
+        avail = len(devices) // tp
+        n_data = avail
+        while unit_batch % n_data:
+            n_data -= 1
+        if n_data < avail:
+            import logging
+            logging.getLogger(__name__).warning(
+                "microbatch %d not divisible by %d data-axis devices; "
+                "using dp=%d x tp=%d", unit_batch, avail, n_data, tp)
+        return create_mesh_2d(n_data, tp)
     n_data = len(devices)
     if jax.process_count() > 1:
         if unit_batch % n_data:

@@ -139,6 +139,9 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             "cache_device is exclusive with use_grain and multi-dataset "
             "interleave — one resident pool, one source")
     tp = cfg.train.tensor_parallel
+    if tp < 1:
+        raise ValueError(f"tensor_parallel must be >= 1, got {tp} "
+                         "(1 = no tensor parallelism)")
     if tp > 1:
         # Tensor parallelism (SURVEY §2.3 TP row): 2-D (data, model) mesh;
         # DPT q/k/v/out + MLP params shard over "model"
@@ -158,21 +161,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 "tensor_parallel with multi-host is not wired "
                 "(shard_params places leaves with device_put)")
         if mesh is None:
-            devices = jax.devices()
-            if len(devices) % tp:
-                raise ValueError(
-                    f"{len(devices)} devices not divisible by "
-                    f"tensor_parallel={tp}")
-            avail = len(devices) // tp
-            unit = cfg.train.batch_size // accum
-            n_data = avail
-            while unit % n_data:
-                n_data -= 1
-            if n_data < avail:
-                log.warning("microbatch %d not divisible by %d data-axis "
-                            "devices; using dp=%d x tp=%d",
-                            unit, avail, n_data, tp)
-            mesh = meshlib.create_mesh_2d(n_data, tp)
+            mesh = meshlib.auto_data_mesh(cfg.train.batch_size // accum,
+                                          tp=tp)
         elif mesh.shape.get("model", 1) != tp:
             raise ValueError(
                 f"passed mesh has model axis {mesh.shape.get('model', 1)}"

@@ -147,6 +147,32 @@ def test_tp_rejects_non_dpt_models(tmp_path):
         looplib.train(cfg, workdir=str(tmp_path))
 
 
+def test_tp_rejects_nonpositive(tmp_path):
+    """--tp 0 must fail loudly, not silently train un-sharded."""
+    import dataclasses
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, tensor_parallel=0))
+    with pytest.raises(ValueError, match="tensor_parallel must be >= 1"):
+        looplib.train(cfg, workdir=str(tmp_path))
+
+
+def test_auto_data_mesh_tp(cpu_mesh):
+    """auto_data_mesh(unit, tp=N): dp x tp mesh, data axis shrunk to the
+    widest divisor of the microbatch (shared policy — loop.py consumes
+    this instead of its own copy)."""
+    mesh = meshlib.auto_data_mesh(8, tp=2)
+    assert mesh.shape["model"] == 2 and mesh.shape["data"] == 4
+    mesh = meshlib.auto_data_mesh(6, tp=2)   # 4 -> widest divisor 3
+    assert mesh.shape["model"] == 2 and mesh.shape["data"] == 3
+    with pytest.raises(ValueError, match="not divisible"):
+        meshlib.auto_data_mesh(8, tp=3)      # 8 devices % 3 != 0
+
+
 def test_cli_tp_flag_resolves():
     from ann3depth_tpu.cli import build_parser, _resolve
 
