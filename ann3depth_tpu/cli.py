@@ -182,10 +182,25 @@ def build_parser():
                     help="run headless (benchmark/latency mode)")
     pl.add_argument("--max-frames", type=int)
 
-    pi = sub.add_parser("infer", help="predict a depth map for image file(s)")
+    pi = sub.add_parser("infer", help="predict depth maps for image file(s) "
+                        "or transcode a whole video offline")
     _common_flags(pi)
-    pi.add_argument("--image", required=True, nargs="+",
+    pi.add_argument("--image", nargs="+",
                     help="input image file(s) (any size; resized on device)")
+    pi.add_argument("--video",
+                    help="transcode a video file instead: writes "
+                         "<stem>_depth.<ext> with colormapped depth frames "
+                         "(batched device path — throughput, not the live "
+                         "viewer's latency loop)")
+    pi.add_argument("--side-by-side", action="store_true",
+                    help="with --video: write input|depth side by side")
+    pi.add_argument("--video-batch", type=int, default=8,
+                    help="device batch for --video (default 8)")
+    pi.add_argument("--max-frames", type=int,
+                    help="with --video: stop after N frames")
+    pi.add_argument("--depth-npy", action="store_true",
+                    help="with --video: also write the raw depth stack "
+                         "(<stem>_depth.npy, [N, h, w] f32 meters)")
     pi.add_argument("--out-dir", default=".",
                     help="where <stem>_depth.npy and <stem>_depth.png go")
     pi.add_argument("--no-png", action="store_true",

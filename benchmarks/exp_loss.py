@@ -6,7 +6,9 @@ three checkpoints with the SAME loss-independent error metrics on the
 held-out pool. Answers: does the reference's scale-invariant loss
 actually win on final RMSE, and what do the variants trade?
 
-Run: python -m benchmarks.exp_loss [steps]
+Run: python -m benchmarks.exp_loss [steps] [kind,kind,...]
+(the optional kind list re-runs a subset, e.g. after a loss-code fix,
+without repaying the unaffected arms)
 """
 
 from __future__ import annotations
@@ -21,7 +23,8 @@ from benchmarks.exp_convergence import (RESULTS, _device_pool,
                                         _eval_on_pool, _train_on_pool)
 
 
-def study_losses(steps=4000, batch=16, record=True):
+def study_losses(steps=4000, batch=16, record=True,
+                 kinds=("si", "l2", "berhu")):
     from ann3depth_tpu.config import get_config
     from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
     from ann3depth_tpu.models.encdec import EncDecDepthNet
@@ -39,7 +42,7 @@ def study_losses(steps=4000, batch=16, record=True):
     s2d = EncDecDepthNet.S2D_INPUT_FACTOR
 
     evals = {}
-    for kind in ("si", "l2", "berhu"):
+    for kind in kinds:
         model = EncDecDepthNet()
         print(f"training encdec with loss={kind} for {steps} steps...",
               flush=True)
@@ -52,16 +55,17 @@ def study_losses(steps=4000, batch=16, record=True):
         }
 
     rmse = {k: v["eval"]["rmse"] for k, v in evals.items()}
-    base = rmse["si"]
     result = {
         "bench": "loss_variants_encdec",
         "steps": steps, "batch": batch,
         "backend": jax.default_backend(),
         "evals": evals,
-        "rmse_delta_vs_si_pct": {
-            k: round(100 * (v / base - 1), 3) for k, v in rmse.items()},
         "time": time.time(),
     }
+    if "si" in rmse:
+        base = rmse["si"]
+        result["rmse_delta_vs_si_pct"] = {
+            k: round(100 * (v / base - 1), 3) for k, v in rmse.items()}
     if record:
         with open(RESULTS, "a") as f:
             f.write(json.dumps(result) + "\n")
@@ -70,4 +74,6 @@ def study_losses(steps=4000, batch=16, record=True):
 
 if __name__ == "__main__":
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    print(json.dumps(study_losses(steps=steps)))
+    kinds = (tuple(sys.argv[2].split(",")) if len(sys.argv) > 2
+             else ("si", "l2", "berhu"))
+    print(json.dumps(study_losses(steps=steps, kinds=kinds)))
