@@ -355,7 +355,23 @@ def main(argv=None):
         from ann3depth_tpu.train.checkpoint import CheckpointManager
         from ann3depth_tpu.utils import viz
 
+        if bool(args.image) == bool(args.video):
+            raise SystemExit("infer needs exactly one of --image or --video")
         cfg = _resolve(args)
+        if args.video:
+            from ann3depth_tpu.live import transcode
+
+            os.makedirs(args.out_dir, exist_ok=True)
+            stem, ext = os.path.splitext(os.path.basename(args.video))
+            out = os.path.join(args.out_dir, f"{stem}_depth{ext or '.avi'}")
+            dnpy = (os.path.join(args.out_dir, f"{stem}_depth.npy")
+                    if args.depth_npy else None)
+            stats = transcode.transcode(
+                cfg, args.video, out, batch=args.video_batch,
+                side_by_side=args.side_by_side, depth_npy=dnpy,
+                max_frames=args.max_frames, use_ema=args.ema)
+            print(json.dumps(stats))
+            return 0
         state = loop.create_state(cfg)
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
         state, restored = ckpt.restore_params(state, use_ema=args.ema)
