@@ -58,25 +58,39 @@ def auto_data_mesh(unit_batch: int, tp: int = 1) -> Mesh:
     devices, so divisibility is required instead.
 
     tp > 1 reserves a minor "model" axis of that width (dp x tp, DPT TP
-    path) and shrinks the data axis within the remaining devices.
+    path) and shrinks the data axis within the remaining devices. On
+    multi-process meshes the model axis must fit within one process's
+    devices (jax.devices() is process-major, so the minor tp axis then
+    groups adjacent same-host devices — TP collectives ride ICI, never
+    DCN) and, as for plain DP, every device must be used.
     """
     devices = jax.devices()
     if tp > 1:
-        if jax.process_count() > 1:
-            raise ValueError("tensor_parallel auto-mesh is single-host "
-                             "only (loop rejects tp with multi-host)")
+        if jax.process_count() > 1 and jax.local_device_count() % tp:
+            raise ValueError(
+                f"tensor_parallel={tp} does not divide the "
+                f"{jax.local_device_count()} devices of one process; the "
+                "model axis must stay within a host so its collectives "
+                "ride ICI")
         if len(devices) % tp:
             raise ValueError(f"{len(devices)} devices not divisible by "
                              f"tensor_parallel={tp}")
         avail = len(devices) // tp
         n_data = avail
-        while unit_batch % n_data:
-            n_data -= 1
-        if n_data < avail:
-            import logging
-            logging.getLogger(__name__).warning(
-                "microbatch %d not divisible by %d data-axis devices; "
-                "using dp=%d x tp=%d", unit_batch, avail, n_data, tp)
+        if jax.process_count() > 1:
+            if unit_batch % n_data:
+                raise ValueError(
+                    f"per-step batch {unit_batch} is not divisible by the "
+                    f"{n_data}-wide data axis (multi-host meshes must "
+                    "span every process)")
+        else:
+            while unit_batch % n_data:
+                n_data -= 1
+            if n_data < avail:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "microbatch %d not divisible by %d data-axis devices; "
+                    "using dp=%d x tp=%d", unit_batch, avail, n_data, tp)
         return create_mesh_2d(n_data, tp)
     n_data = len(devices)
     if jax.process_count() > 1:

@@ -62,7 +62,16 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
     With tensor_parallel=False every param is replicated (pure DP). With
     True, transformer q/k/v/out and MLP kernels shard over the "model"
     axis; everything else replicates.
+
+    Works on multi-process meshes too: device_put cannot address another
+    process's shards, so placement goes through make_array_from_callback
+    — every process holds the identical host leaf (seeded init / shared
+    checkpoint restore) and materializes its own slices.
     """
+    import numpy as np
+
+    nproc = jax.process_count()
+
     def place(path, leaf):
         spec = P()
         if tensor_parallel and MODEL_AXIS in mesh.axis_names:
@@ -75,7 +84,12 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
                     for i, dim in enumerate(s))
                 if ok:
                     spec = s
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if nproc > 1:
+            host = np.asarray(leaf)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx, a=host: a[idx])
+        return jax.device_put(leaf, sharding)
 
     return jax.tree_util.tree_map_with_path(place, params)
 

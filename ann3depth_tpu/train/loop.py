@@ -88,12 +88,13 @@ def create_state(cfg: Config, mesh=None):
         # shardings — place only the 0-d leaves.
         state = steplib.TrainState.create(model.apply, params, tx,
                                           ema=cfg.train.ema_decay > 0)
-        rep = meshlib.replicated(mesh)
+        # meshlib.replicate (not device_put) so the multi-process path
+        # goes through make_array_from_callback like everything else.
         scalars_replicated = jax.tree.map(
-            lambda l: (jax.device_put(l, rep)
+            lambda l: (meshlib.replicate(l, mesh)
                        if getattr(l, "ndim", None) == 0 else l),
             state.opt_state)
-        return state.replace(step=jax.device_put(state.step, rep),
+        return state.replace(step=meshlib.replicate(state.step, mesh),
                              opt_state=scalars_replicated)
     state = steplib.TrainState.create(model.apply, params, tx,
                                       ema=cfg.train.ema_decay > 0)
@@ -156,10 +157,6 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             raise ValueError(
                 "tensor_parallel with zero1 is not wired (the ZeRO-1 "
                 "shard_map collectives are data-axis only)")
-        if nproc > 1:
-            raise ValueError(
-                "tensor_parallel with multi-host is not wired "
-                "(shard_params places leaves with device_put)")
         if mesh is None:
             mesh = meshlib.auto_data_mesh(cfg.train.batch_size // accum,
                                           tp=tp)

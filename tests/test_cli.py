@@ -54,6 +54,9 @@ def test_unknown_preset_and_bad_quant_rejected():
         cli.build_parser().parse_args(["train", "--quant", "int4"])
 
 
-def test_infer_requires_image():
-    with pytest.raises(SystemExit):
-        cli.build_parser().parse_args(["infer"])
+def test_infer_requires_image_or_video():
+    # --image is no longer argparse-required (exactly one of --image /
+    # --video, enforced in main so the error names both options).
+    cli.build_parser().parse_args(["infer"])
+    with pytest.raises(SystemExit, match="exactly one"):
+        cli.main(["infer", "--config", "smoke"])

@@ -25,30 +25,43 @@ opts = json.loads(sys.argv[5]) if len(sys.argv) > 5 else {}
 mode = opts.get("mode", "builtin")
 cfg = get_config("smoke")
 data = cfg.data
+model = cfg.model
+tp = 1
 if mode == "cache":
     data = dataclasses.replace(data, cache_device=True)
 elif mode == "grain":
     data = dataclasses.replace(data, use_grain=True)
 elif mode == "multi":
     data = dataclasses.replace(data, datasets=("synthetic", "synthetic"))
+elif mode == "tp":
+    # dp(4) x tp(2) across the two processes; model axis intra-process
+    data = dataclasses.replace(data, input_hw=(32, 32))
+    model = dataclasses.replace(model, name="dpt-small",
+                                compute_dtype="float32")
+    tp = 2
 cfg = dataclasses.replace(
     cfg,
     data=data,
+    model=model,
     train=dataclasses.replace(
         cfg.train, batch_size=8,
         steps=opts.get("steps", 6),
+        tensor_parallel=tp,
         ckpt_dir=sys.argv[3],
         checkpoint_every=opts.get("checkpoint_every", 5),
         resume=opts.get("resume", False),
         log_every=2, eval_every=opts.get("eval_every", 3)),
 )
 state, metrics = loop.train(cfg, workdir=sys.argv[4], progress=False)
+from ann3depth_tpu.parallel.sharding_rules import describe_sharding
 print("RESULT " + json.dumps({
     "proc": jax.process_index(),
     "nproc": jax.process_count(),
     "ndev": len(jax.devices()),
     "loss": float(metrics["loss"]),
     "step": int(state.step),
+    "tp_sharded": any("model" in str(v)
+                      for v in describe_sharding(state.params).values()),
 }), flush=True)
 """
 
@@ -109,12 +122,12 @@ def _run_two_process(tmp_path, mode, **opts):
     # Params are replicated through the global psum: both controllers must
     # observe the identical final loss (bitwise — same program, same data).
     assert results[0]["loss"] == results[1]["loss"]
-    return wds, ckpt
+    return wds, ckpt, results
 
 
 @pytest.mark.slow
 def test_two_process_training_lockstep(tmp_path):
-    wds, ckpt = _run_two_process(tmp_path, "builtin")
+    wds, ckpt, _ = _run_two_process(tmp_path, "builtin")
     # Writers are process-0-only; checkpoints exist (both processes save
     # through orbax into the shared dir).
     assert os.path.exists(os.path.join(wds[0], "metrics.jsonl"))
@@ -170,6 +183,19 @@ def test_two_process_training_feed_paths(tmp_path, mode):
     multi-dataset interleave (aligned source rotation) — each trains
     lockstep with bitwise-identical replicated losses."""
     _run_two_process(tmp_path, mode)
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel(tmp_path):
+    """r3: dp(4) x tp(2) spanning two processes — TP params placed via
+    make_array_from_callback (device_put cannot address remote shards),
+    the model axis grouped within each process so its collectives never
+    cross hosts, batches process-sharded over the data axis only. Both
+    controllers train lockstep to bitwise-identical losses with the DPT
+    q/k/v kernels actually sharded over "model"."""
+    _, _, results = _run_two_process(tmp_path, "tp", steps=4,
+                                     checkpoint_every=4, eval_every=0)
+    assert all(r["tp_sharded"] for r in results.values())
 
 
 def test_process_shard_view_partitions_everything_once():
