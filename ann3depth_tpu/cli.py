@@ -173,6 +173,13 @@ def build_parser():
     pe.add_argument("--ema", action="store_true",
                     help="score the EMA (Polyak-averaged) weights from a "
                          "checkpoint trained with --ema-decay")
+    pe.add_argument("--report-dir", metavar="DIR",
+                    help="also write per-image error attribution: "
+                         "per_image.jsonl, a worst-K rgb|gt|pred triple "
+                         "grid (worst.png), summary.json")
+    pe.add_argument("--report-worst", type=int, default=8,
+                    help="how many highest-RMSE images worst.png renders "
+                         "(default 8)")
 
     pl = sub.add_parser("live", help="continuous depth view from camera/video")
     _common_flags(pl)
@@ -331,7 +338,9 @@ def main(argv=None):
         from ann3depth_tpu.train import loop
         cfg = _resolve(args)
         metrics = loop.evaluate(cfg, max_batches=args.max_batches,
-                                use_ema=args.ema)
+                                use_ema=args.ema,
+                                report_dir=args.report_dir,
+                                report_worst=args.report_worst)
         print(json.dumps(metrics))
         return 0
 

@@ -461,7 +461,7 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
 
 
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
-             mesh=None, use_ema=False):
+             mesh=None, use_ema=False, report_dir=None, report_worst=8):
     """Eval loop: accumulate global sufficient statistics over the test
     split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
     error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
@@ -469,11 +469,22 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
 
     Data-parallel like training: batches are sharded over the mesh's
     "data" axis (auto mesh capped to a divisor of the batch size, same
-    policy as train); the stats reduction psums over ICI."""
+    policy as train); the stats reduction psums over ICI.
+
+    report_dir: also write per-image error attribution — per_image.jsonl
+    (one metrics row per test image, split order), worst.png (a
+    rgb|gt|pred triple grid of the report_worst highest-RMSE images) and
+    summary.json. The dataset metrics come from the same per-image
+    sufficient statistics (their sums equal the global sums), so the
+    report adds one D2H of per-image stats per batch, not a second pass."""
     from ann3depth_tpu.train import losses
 
     dataset = dataset or build_dataset(cfg, "test")
     nproc = jax.process_count()
+    if report_dir is not None and nproc > 1:
+        raise ValueError("eval report is single-process only (the full "
+                         "split must rank in one place); run eval without "
+                         "--multihost")
     if mesh is None:
         mesh = meshlib.auto_data_mesh(cfg.train.batch_size)
     sharding = meshlib.batch_sharding(mesh)
@@ -511,7 +522,12 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     # the next batch's step) and fetch once at the end: one host<->device
     # sync per eval, not per batch — through this environment's tunnel a
     # per-batch device_get costs ~25 ms.
+    step_kw = dict(input_hw=cfg.data.input_hw,
+                   target_hw=resolved_target_hw(cfg),
+                   si_lambda=cfg.train.si_lambda,
+                   use_pallas=_use_pallas(cfg), loss_kind=cfg.train.loss)
     totals = {}
+    rows, worst = [], []  # report mode: per-image rows + worst-K heap
     for b, (img_u8, depth) in enumerate(
             dataset.batches(eval_batch_size, steps=max_batches,
                             shuffle=False)):
@@ -522,19 +538,74 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
         else:
             img_u8, depth = (jax.device_put(img_u8, sharding),
                              jax.device_put(depth, sharding))
-        stats = steplib.eval_stats_step(
-            state, img_u8, depth,
-            input_hw=cfg.data.input_hw, target_hw=resolved_target_hw(cfg),
-            si_lambda=cfg.train.si_lambda, use_pallas=_use_pallas(cfg),
-            loss_kind=cfg.train.loss)
-        if jax.default_backend() == "cpu":
-            # same CPU rendezvous-starvation guard as the train loop
-            jax.block_until_ready(stats)
-        for k, v in stats.items():
-            totals[k] = totals[k] + v if k in totals else v
+        if report_dir is None:
+            stats = steplib.eval_stats_step(state, img_u8, depth, **step_kw)
+            if jax.default_backend() == "cpu":
+                # same CPU rendezvous-starvation guard as the train loop
+                jax.block_until_ready(stats)
+            for k, v in stats.items():
+                totals[k] = totals[k] + v if k in totals else v
+        else:
+            import heapq
+
+            per, images, depths, pred_log = steplib.eval_report_step(
+                state, img_u8, depth, **step_kw)
+            per = {k: np.asarray(v) for k, v in jax.device_get(per).items()}
+            bsz = per["n_valid"].shape[0]
+            batch_tot = {k: float(v.sum()) for k, v in per.items()
+                         if k != "si_loss"}
+            batch_tot["n_images"] = float(bsz)
+            batch_tot["sum_si_loss"] = float(per["si_loss"].sum())
+            for k, v in batch_tot.items():
+                totals[k] = totals.get(k, 0.0) + v
+            fin = losses.finalize_depth_metrics(
+                {**{k: v for k, v in per.items() if k != "si_loss"},
+                 "sum_si_loss": per["si_loss"],
+                 "n_images": np.ones(bsz, np.float32)})
+            for i in range(bsz):
+                idx = b * eval_batch_size + i
+                rows.append({"index": idx,
+                             **{k: float(v[i]) for k, v in fin.items()}})
+                r = float(fin["rmse"][i])
+                if len(worst) < report_worst or r > worst[0][0]:
+                    # fetch only candidate images (slicing a device array
+                    # transfers just the slice)
+                    payload = (np.asarray(images[i]), np.asarray(depths[i]),
+                               np.exp(np.asarray(pred_log[i])[..., 0]))
+                    heapq.heappush(worst, (r, idx, payload))
+                    if len(worst) > report_worst:
+                        heapq.heappop(worst)
         if max_batches is not None and b + 1 >= max_batches:
             break
     if not totals:
         raise ValueError("eval split yielded no batches")
     totals = {k: float(v) for k, v in jax.device_get(totals).items()}
-    return losses.finalize_depth_metrics(totals)
+    metrics = losses.finalize_depth_metrics(totals)
+    if report_dir is not None:
+        _write_eval_report(report_dir, rows, worst, metrics)
+    return metrics
+
+
+def _write_eval_report(report_dir, rows, worst, metrics):
+    """per_image.jsonl + worst.png triple grid + summary.json."""
+    import json
+
+    from ann3depth_tpu.utils import viz
+
+    os.makedirs(report_dir, exist_ok=True)
+    with open(os.path.join(report_dir, "per_image.jsonl"), "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+    ranked = sorted(worst, key=lambda t: -t[0])  # worst first
+    if ranked:
+        imgs = np.stack([p[0] for _, _, p in ranked])
+        gts = np.stack([p[1] for _, _, p in ranked])
+        preds = np.stack([p[2] for _, _, p in ranked])
+        grid = viz.triple_grid(imgs, gts, preds, max_rows=len(ranked))
+        viz.save_png(os.path.join(report_dir, "worst.png"), grid)
+    with open(os.path.join(report_dir, "summary.json"), "w") as f:
+        json.dump({"metrics": metrics, "images": len(rows),
+                   "worst": [{"index": idx, "rmse": r}
+                             for r, idx, _ in ranked]}, f, indent=2)
+    log.info("eval report: %d images -> %s (worst %d rendered)",
+             len(rows), report_dir, len(ranked))

@@ -135,6 +135,24 @@ def depth_metric_stats(pred_log, target, mask=None, si_lambda=None,
     `loss_kind` (sum_si_loss / n_images at finalize — the key name is
     historical; it holds whichever loss the run trains: si | l2 | berhu).
     """
+    stats = {k: jnp.sum(v) for k, v in per_image_metric_stats(
+        pred_log, target, mask).items()}
+    if si_lambda is not None:
+        stats["n_images"] = jnp.asarray(
+            jnp.asarray(target).shape[0], jnp.float32)
+        stats["sum_si_loss"] = jnp.sum(per_image_depth_loss(
+            pred_log, target, mask, kind=loss_kind, lam=si_lambda))
+    return stats
+
+
+def per_image_metric_stats(pred_log, target, mask=None):
+    """Per-image sufficient statistics: same formulas as
+    `depth_metric_stats` reduced over each image's pixels, so every leaf
+    is [B]-shaped. jnp.sum of each leaf reproduces the global stats
+    (depth_metric_stats is defined as exactly that), and
+    `finalize_depth_metrics` (pure +,*,/,**) maps elementwise — feeding it
+    these arrays yields per-image metric arrays. Backs the eval report
+    path (loop.evaluate(report_dir=...))."""
     pred_log = jnp.asarray(pred_log, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     if pred_log.shape != target.shape:
@@ -142,6 +160,7 @@ def depth_metric_stats(pred_log, target, mask=None, si_lambda=None,
     else:
         pred_log_r = pred_log
     valid = _flatten_mask(target, mask)
+    axes = tuple(range(1, target.ndim))
 
     tgt = jnp.maximum(target, ref.DEPTH_EPS)
     pred = jnp.exp(pred_log_r)
@@ -151,20 +170,16 @@ def depth_metric_stats(pred_log, target, mask=None, si_lambda=None,
     dlog = (pred_log_r - jnp.log(tgt)) * z
     ratio = jnp.maximum(pred / tgt, tgt / jnp.maximum(pred, ref.DEPTH_EPS))
 
-    stats = {
-        "n_valid": jnp.sum(z),
-        "sum_sq": jnp.sum(diff * diff),
-        "sum_sq_log": jnp.sum(dlog * dlog),
-        "sum_abs_rel": jnp.sum(jnp.abs(pred - tgt) / tgt * z),
-        "sum_abs_log": jnp.sum(jnp.abs(dlog)),
-        **{f"n_delta{i}": jnp.sum((ratio < 1.25**i) & valid).astype(jnp.float32)
+    return {
+        "n_valid": jnp.sum(z, axis=axes),
+        "sum_sq": jnp.sum(diff * diff, axis=axes),
+        "sum_sq_log": jnp.sum(dlog * dlog, axis=axes),
+        "sum_abs_rel": jnp.sum(jnp.abs(pred - tgt) / tgt * z, axis=axes),
+        "sum_abs_log": jnp.sum(jnp.abs(dlog), axis=axes),
+        **{f"n_delta{i}": jnp.sum((ratio < 1.25**i) & valid,
+                                  axis=axes).astype(jnp.float32)
            for i in (1, 2, 3)},
     }
-    if si_lambda is not None:
-        stats["n_images"] = jnp.asarray(target.shape[0], jnp.float32)
-        stats["sum_si_loss"] = jnp.sum(per_image_depth_loss(
-            pred_log, target, mask, kind=loss_kind, lam=si_lambda))
-    return stats
 
 
 def finalize_depth_metrics(stats):

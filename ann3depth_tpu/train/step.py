@@ -331,6 +331,29 @@ def eval_stats_step(state: TrainState, img_u8, depth_raw, *, input_hw,
                                      loss_kind=loss_kind)
 
 
+@functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
+                                             "si_lambda", "use_pallas",
+                                             "loss_kind"))
+def eval_report_step(state: TrainState, img_u8, depth_raw, *, input_hw,
+                     target_hw, si_lambda=0.5, use_pallas=False,
+                     loss_kind="si"):
+    """Eval with per-image attribution (loop.evaluate's report path).
+
+    One device program returns (per_image_stats [B]-leaved dict incl. the
+    per-image training loss, images, depths, pred_log) so the report loop
+    can rank images and render worst-K triples without a second forward.
+    jnp.sum of each stats leaf equals depth_metric_stats' global sums, so
+    the report eval accumulates the same dataset metrics."""
+    images, depths = preprocess.preprocess_batch(
+        img_u8, depth_raw, input_hw, target_hw, key=None,
+        use_pallas=use_pallas)
+    pred_log = state.apply_fn({"params": state.params}, images)
+    per = losses.per_image_metric_stats(pred_log, depths)
+    per["si_loss"] = losses.per_image_depth_loss(
+        pred_log, depths, kind=loss_kind, lam=si_lambda)
+    return per, images, depths, pred_log
+
+
 def eval_step(state: TrainState, img_u8, depth_raw, *, input_hw, target_hw,
               si_lambda=0.5, use_pallas=False):
     """One-batch metric dict (convenience wrapper over eval_stats_step)."""

@@ -1,0 +1,117 @@
+"""Per-image eval attribution (losses.per_image_metric_stats +
+loop.evaluate(report_dir=...) + CLI `eval --report-dir`)."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ann3depth_tpu.train import losses
+
+
+def test_per_image_stats_sum_to_global():
+    rng = np.random.default_rng(0)
+    target = rng.uniform(0.5, 60.0, (4, 8, 10)).astype(np.float32)
+    target[0, :2] = 0.0  # invalid pixels
+    pred_log = rng.normal(1.0, 0.5, (4, 8, 10, 1)).astype(np.float32)
+
+    per = losses.per_image_metric_stats(pred_log, target)
+    glob = losses.depth_metric_stats(pred_log, target, si_lambda=0.5)
+    for k, v in per.items():
+        assert v.shape == (4,), k
+        np.testing.assert_allclose(float(np.sum(np.asarray(v))),
+                                   float(glob[k]), rtol=1e-5)
+
+
+def test_per_image_finalize_matches_single_image_oracle():
+    """finalize_depth_metrics maps elementwise over [B] stats; each entry
+    must equal the metrics of that image evaluated alone."""
+    rng = np.random.default_rng(1)
+    target = rng.uniform(0.5, 60.0, (3, 6, 7)).astype(np.float32)
+    pred_log = rng.normal(1.0, 0.5, (3, 6, 7)).astype(np.float32)
+
+    per = {k: np.asarray(v) for k, v in
+           losses.per_image_metric_stats(pred_log, target).items()}
+    fin = losses.finalize_depth_metrics(per)
+    for i in range(3):
+        solo = losses.depth_metrics(pred_log[i:i + 1], target[i:i + 1])
+        for k in ("rmse", "abs_rel", "delta1", "rmse_log", "log10"):
+            np.testing.assert_allclose(float(fin[k][i]), float(solo[k]),
+                                       rtol=1e-5, err_msg=f"{k}[{i}]")
+
+
+def _smoke_cfg(tmp_path, batch=4):
+    from ann3depth_tpu.config import get_config
+
+    cfg = get_config("smoke")
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, input_hw=(48, 64)),
+        train=dataclasses.replace(cfg.train, batch_size=batch,
+                                  ckpt_dir=str(tmp_path / "ckpt")),
+    )
+
+
+def test_evaluate_report_dir_writes_attribution(tmp_path):
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = _smoke_cfg(tmp_path)
+    state = looplib.create_state(cfg)
+    rdir = str(tmp_path / "report")
+    metrics = looplib.evaluate(cfg, state=state, max_batches=3,
+                               report_dir=rdir, report_worst=4)
+    # identical dataset metrics as the no-report path (same sums, modulo
+    # f32 vs host-f64 accumulation order)
+    plain = looplib.evaluate(cfg, state=state, max_batches=3)
+    for k in metrics:
+        assert metrics[k] == pytest.approx(plain[k], rel=1e-4), k
+
+    rows = [json.loads(l) for l in
+            open(os.path.join(rdir, "per_image.jsonl"))]
+    assert len(rows) == 3 * cfg.train.batch_size
+    assert rows[0]["index"] == 0 and rows[-1]["index"] == len(rows) - 1
+    assert all(np.isfinite(r["rmse"]) and r["rmse"] > 0 for r in rows)
+
+    summary = json.load(open(os.path.join(rdir, "summary.json")))
+    assert summary["images"] == len(rows)
+    assert summary["metrics"]["rmse"] == pytest.approx(metrics["rmse"])
+    # worst list is the top-K per-image RMSEs, ranked worst-first
+    worst = summary["worst"]
+    assert len(worst) == 4
+    top = sorted((r["rmse"] for r in rows), reverse=True)[:4]
+    np.testing.assert_allclose([w["rmse"] for w in worst], top, rtol=1e-6)
+
+    # triple grid: K rows of (rgb | gt | pred) at input resolution
+    from PIL import Image
+    grid = np.asarray(Image.open(os.path.join(rdir, "worst.png")))
+    assert grid.shape == (4 * 48, 3 * 64, 3)
+
+
+def test_evaluate_report_rejects_multiprocess(tmp_path, monkeypatch):
+    from ann3depth_tpu.train import loop as looplib
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-process"):
+        looplib.evaluate(_smoke_cfg(tmp_path), report_dir=str(tmp_path))
+
+
+def test_cli_eval_report(tmp_path, capsys):
+    from ann3depth_tpu.cli import main
+
+    rc = main(["train", "--config", "smoke", "--steps", "2",
+               "--batch-size", "2", "--ckpt-dir", str(tmp_path / "c"),
+               "--workdir", str(tmp_path / "w")])
+    assert rc == 0
+    rdir = str(tmp_path / "rep")
+    rc = main(["eval", "--config", "smoke", "--batch-size", "2",
+               "--ckpt-dir", str(tmp_path / "c"), "--max-batches", "2",
+               "--report-dir", rdir, "--report-worst", "3"])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(metrics["rmse"])
+    assert os.path.exists(os.path.join(rdir, "worst.png"))
+    rows = open(os.path.join(rdir, "per_image.jsonl")).read().splitlines()
+    assert len(rows) == 4
