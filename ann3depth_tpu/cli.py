@@ -222,6 +222,13 @@ def build_parser():
     pi.add_argument("--ema", action="store_true",
                     help="use the EMA weights from the checkpoint")
 
+    pn = sub.add_parser("info", help="inspect a model/config: parameter "
+                        "count, shapes, registry, optional XLA FLOPs")
+    _common_flags(pn)
+    pn.add_argument("--flops", action="store_true",
+                    help="also compile the forward pass and report XLA's "
+                         "per-image FLOP count (+ MFU peak for this chip)")
+
     pd = sub.add_parser("download", help="fetch + extract datasets")
     pd.add_argument("--dataset", required=True, choices=["make3d", "nyu"])
     pd.add_argument("--data-dir", default="data")
@@ -351,6 +358,50 @@ def main(argv=None):
                            display=not args.no_display,
                            max_frames=args.max_frames)
         print(json.dumps(stats))
+        return 0
+
+    if args.mode == "info":
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ann3depth_tpu.models import registry
+        from ann3depth_tpu.train import loop as looplib
+        from ann3depth_tpu.train import step as steplib
+
+        cfg = _resolve(args)
+        model = registry.build(cfg.model)
+        params = steplib.init_params(model, cfg.data.input_hw)
+        n_params = int(sum(np.prod(l.shape)
+                           for l in jax.tree.leaves(params)))
+        out = jax.eval_shape(
+            lambda p, x: model.apply({"params": p}, x), params,
+            jax.ShapeDtypeStruct((1, *cfg.data.input_hw, 3), jnp.float32))
+        info = {
+            "model": cfg.model.name,
+            "config": args.config,
+            "compute_dtype": cfg.model.compute_dtype,
+            "quant": cfg.model.quant,
+            "params": n_params,
+            "params_mib_f32": round(n_params * 4 / 2**20, 2),
+            "input_hw": list(cfg.data.input_hw),
+            "output_hw": list(out.shape[1:3]),
+            "target_hw": list(looplib.resolved_target_hw(cfg)),
+            "batch_size": cfg.train.batch_size,
+            "registry": registry.available(),
+        }
+        if args.flops:
+            from benchmarks import flops as flopslib
+            fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+            x = jnp.zeros((1, *cfg.data.input_hw, 3), jnp.float32)
+            fl = flopslib.step_flops(fwd, params, x)
+            if fl:
+                info["forward_gflops_per_image"] = round(fl / 1e9, 3)
+            peak = flopslib.device_peak_flops()
+            if peak:
+                info["device_peak_tflops"] = round(peak / 1e12, 1)
+                info["device_kind"] = jax.devices()[0].device_kind
+        print(json.dumps(info))
         return 0
 
     if args.mode == "infer":

@@ -54,6 +54,23 @@ def test_unknown_preset_and_bad_quant_rejected():
         cli.build_parser().parse_args(["train", "--quant", "int4"])
 
 
+def test_cli_info_reports_model_facts(capsys):
+    import json
+
+    import numpy as np
+
+    rc = cli.main(["info", "--config", "smoke"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["model"] == "small" and info["params"] > 0
+    assert info["input_hw"] == [240, 320]
+    assert len(info["output_hw"]) == 2
+    assert "encdec" in info["registry"] and "dpt" in info["registry"]
+    # params_mib is rounded to 2 decimals in the output
+    assert np.isclose(info["params_mib_f32"],
+                      info["params"] * 4 / 2**20, atol=0.01)
+
+
 def test_infer_requires_image_or_video():
     # --image is no longer argparse-required (exactly one of --image /
     # --video, enforced in main so the error names both options).
