@@ -94,6 +94,26 @@ def test_encdec_s2d_path_exports(tmp_path):
     assert np.isfinite(got).all()
 
 
+def test_encdec_int8_quant_exports(tmp_path):
+    """The int8 serving twin (dynamic activation scales + round(), same
+    param tree as bf16 training) must serialize via jax.export too — the
+    deployment recipe is train bf16/QAT, export --quant int8."""
+    cfg = _tiny_cfg(model="encdec")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quant="int8"))
+    model, params = _params(cfg)
+    meta = serving.export_serving(cfg, params, tmp_path, batch=None,
+                                  raw_hw=RAW_HW)
+    assert meta["quant"] == "int8"
+    loaded = serving.load_serving(tmp_path)
+    img = _frames(2)
+    got = loaded.predict(img)
+    fn = serving.make_serving_fn(model, cfg.model.name, cfg.data.input_hw)
+    want = np.asarray(jax.jit(fn)(params, jnp.asarray(img)))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    assert np.isfinite(got).all() and (got > 0).all()
+
+
 def test_dpt_export_polymorphic():
     """DPT (ViT attention + jax.image.resize head) serializes and round-
     trips batch-polymorphically too. export_serving builds the full-size
