@@ -99,6 +99,12 @@ def _resolve(args) -> cfglib.Config:
         train["tensor_parallel"] = args.tensor_parallel
     if getattr(args, "ema_decay", None) is not None:
         train["ema_decay"] = args.ema_decay
+    if getattr(args, "early_stop_patience", None) is not None:
+        train["early_stop_patience"] = args.early_stop_patience
+    if getattr(args, "early_stop_min_delta", None) is not None:
+        train["early_stop_min_delta"] = args.early_stop_min_delta
+    if getattr(args, "eval_every", None) is not None:
+        train["eval_every"] = args.eval_every
     if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate is not None:
         train["learning_rate"] = args.learning_rate
@@ -150,6 +156,15 @@ def build_parser():
     pt.add_argument("--augment", action="store_true")
     pt.add_argument("--tensorboard", action="store_true",
                     help="also write TensorBoard event files under workdir/tb")
+    pt.add_argument("--eval-every", type=int,
+                    help="in-loop eval cadence in steps (0 disables)")
+    pt.add_argument("--early-stop-patience", type=int,
+                    help="stop when the in-loop eval RMSE hasn't improved "
+                         "for this many consecutive evals (0 = off; "
+                         "requires eval-every > 0)")
+    pt.add_argument("--early-stop-min-delta", type=float,
+                    help="minimum RMSE improvement that resets the "
+                         "early-stop counter (default 0)")
     pt.add_argument("--workdir", help="metrics/log directory (default: ckpt dir)")
     pt.add_argument("--profile", metavar="DIR",
                     help="emit a jax.profiler (TensorBoard/Perfetto) trace of "

@@ -103,6 +103,14 @@ class TrainConfig:
     checkpoint_every: int = 500
     log_every: int = 50
     eval_every: int = 500
+    # >0: stop training when the in-loop eval RMSE hasn't improved by at
+    # least early_stop_min_delta for this many CONSECUTIVE evals
+    # (requires eval_every > 0). The reference ran a fixed step budget;
+    # this is driver completeness for real-data runs where the budget is
+    # unknown. The eval compared is the 4-batch in-loop sample, so set
+    # eval_every/patience generously on noisy data.
+    early_stop_patience: int = 0
+    early_stop_min_delta: float = 0.0
     ckpt_dir: str = "checkpoints"
     resume: bool = False
     tensorboard: bool = False  # also write tf.summary event files

@@ -139,6 +139,13 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             "cache_device is exclusive with use_grain and multi-dataset "
             "interleave — one resident pool, one source")
+    if cfg.train.early_stop_patience < 0:
+        raise ValueError("early_stop_patience must be >= 0, got "
+                         f"{cfg.train.early_stop_patience}")
+    if cfg.train.early_stop_patience and not cfg.train.eval_every:
+        raise ValueError(
+            "early_stop_patience needs in-loop eval to watch: set "
+            "eval_every > 0 (the stop criterion is the eval RMSE)")
     tp = cfg.train.tensor_parallel
     if tp < 1:
         raise ValueError(f"tensor_parallel must be >= 1, got {tp} "
@@ -356,6 +363,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     t0 = time.perf_counter()
     imgs_since = 0
     profiling = False
+    best_eval_rmse, evals_stale = float("inf"), 0
     try:
         for i, (img_u8, depth) in enumerate(feed):
             if i == prof_start:
@@ -422,6 +430,23 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 if progress:
                     log.info("eval @%d rmse=%.3f abs_rel=%.3f", step_no + 1,
                              em["rmse"], em["abs_rel"])
+                if cfg.train.early_stop_patience:
+                    # em is a deterministic finalize of collectively-
+                    # reduced stats, so every process sees the same
+                    # number and stops at the same step.
+                    if em["rmse"] < (best_eval_rmse
+                                     - cfg.train.early_stop_min_delta):
+                        best_eval_rmse, evals_stale = em["rmse"], 0
+                    else:
+                        evals_stale += 1
+                        if evals_stale >= cfg.train.early_stop_patience:
+                            log.info(
+                                "early stop at step %d: eval rmse stuck "
+                                "at %.4f (best %.4f) for %d evals",
+                                step_no + 1, em["rmse"], best_eval_rmse,
+                                evals_stale)
+                            ckpt.save(step_no + 1, state)
+                            break
                 t0, imgs_since = time.perf_counter(), 0
 
             if (step_no + 1) % cfg.train.checkpoint_every == 0 or i == n_steps - 1:

@@ -118,6 +118,56 @@ def test_multi_dataset_training_interleaves(tmp_path):
 
 
 @pytest.mark.slow
+def test_early_stopping_halts_on_stale_eval(tmp_path):
+    """patience=1 with an unreachable min_delta: the first in-loop eval
+    sets the best, the second is 'stale' -> training stops at step 2 of
+    10 and the stop-step checkpoint is durable."""
+    import dataclasses
+    import os
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, steps=10, batch_size=2, eval_every=1,
+            early_stop_patience=1, early_stop_min_delta=1e9,
+            checkpoint_every=100, log_every=100,
+            ckpt_dir=str(tmp_path / "ckpt")))
+    state, metrics = looplib.train(cfg, workdir=str(tmp_path),
+                                   progress=False)
+    assert int(state.step) == 2
+    assert "2" in os.listdir(cfg.train.ckpt_dir)
+
+
+def test_early_stop_requires_in_loop_eval(tmp_path):
+    import dataclasses
+
+    import pytest
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")  # smoke preset has eval_every=0
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, early_stop_patience=2))
+    with pytest.raises(ValueError, match="eval_every"):
+        looplib.train(cfg, workdir=str(tmp_path))
+
+
+def test_cli_early_stop_flags_resolve():
+    from ann3depth_tpu.cli import build_parser, _resolve
+
+    args = build_parser().parse_args(
+        ["train", "--config", "smoke", "--eval-every", "3",
+         "--early-stop-patience", "2", "--early-stop-min-delta", "0.01"])
+    cfg = _resolve(args)
+    assert cfg.train.eval_every == 3
+    assert cfg.train.early_stop_patience == 2
+    assert cfg.train.early_stop_min_delta == 0.01
+
+
 def test_cli_infer_writes_depth_files(tmp_path, capsys):
     from PIL import Image
 
