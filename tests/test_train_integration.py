@@ -118,6 +118,34 @@ def test_multi_dataset_training_interleaves(tmp_path):
 
 
 @pytest.mark.slow
+def test_training_is_bitwise_deterministic(tmp_path):
+    """Two runs with the same seed produce the SAME final loss and
+    params bit for bit (seeded init + seeded data order + deterministic
+    XLA program). The property real sweeps and bisections rely on."""
+    import dataclasses
+
+    import jax
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    def run(tag):
+        cfg = get_config("smoke")
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, steps=4, batch_size=2, eval_every=0,
+                log_every=10, checkpoint_every=100,
+                ckpt_dir=str(tmp_path / tag / "ckpt")))
+        return looplib.train(cfg, workdir=str(tmp_path / tag),
+                             progress=False)
+
+    s1, m1 = run("a")
+    s2, m2 = run("b")
+    assert float(m1["loss"]) == float(m2["loss"])
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_early_stopping_halts_on_stale_eval(tmp_path):
     """patience=1 with an unreachable min_delta: the first in-loop eval
     sets the best, the second is 'stale' -> training stops at step 2 of
