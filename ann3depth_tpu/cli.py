@@ -203,6 +203,10 @@ def build_parser():
     pl.add_argument("--no-display", action="store_true",
                     help="run headless (benchmark/latency mode)")
     pl.add_argument("--max-frames", type=int)
+    pl.add_argument("--record", metavar="OUT.avi",
+                    help="also append every displayed depth frame to this "
+                         "video file (what the session showed, drops "
+                         "included; offline files want `infer --video`)")
 
     pi = sub.add_parser("infer", help="predict depth maps for image file(s) "
                         "or transcode a whole video offline")
@@ -371,7 +375,7 @@ def main(argv=None):
         cfg = _resolve(args)
         stats = viewer.run(cfg, camera=args.camera, video=args.video,
                            display=not args.no_display,
-                           max_frames=args.max_frames)
+                           max_frames=args.max_frames, record=args.record)
         print(json.dumps(stats))
         return 0
 

@@ -30,8 +30,13 @@ def _percentile(xs, p):
 
 def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
         display: bool = True, max_frames: Optional[int] = None,
-        source=None, state=None) -> dict:
-    """Run the live loop; returns latency/fps stats dict."""
+        source=None, state=None, record: Optional[str] = None) -> dict:
+    """Run the live loop; returns latency/fps stats dict.
+
+    record: optional output video path — every displayed (rendered
+    depth) frame is also appended there, at the session's achieved rate
+    (offline files want `infer --video` instead; recording here captures
+    what the live session actually showed, drops included)."""
     from ann3depth_tpu.train import loop as looplib
 
     frame_hw = cfg.live.frame_hw
@@ -68,6 +73,15 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
         except ImportError:
             log.warning("cv2 missing; headless")
 
+    writer = None
+    if record is not None:
+        import cv2 as _cv2r
+
+        from ann3depth_tpu.live.transcode import _open_writer
+        writer = _open_writer(_cv2r, record,
+                              cfg.live.target_fps, (frame_hw[1], frame_hw[0]))
+        _record_cv2 = _cv2r
+
     latencies, shown = [], 0
     in_flight = None  # one-deep pipeline: overlap frame k+1 with k's D2H
     last_fid = -1     # pop_latest re-returns the newest frame; dedup by id
@@ -90,6 +104,9 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
                 _, rendered, dt = engine.retrieve(in_flight)
                 latencies.append(dt)
                 shown += 1
+                if writer is not None:
+                    writer.write(_record_cv2.cvtColor(
+                        rendered, _record_cv2.COLOR_RGB2BGR))
                 if cv2 is not None:
                     bgr = cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR)
                     cv2.imshow("ann3depth_tpu live", bgr)
@@ -101,6 +118,8 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
         rb_stats = ring.stats()
         ring_native = ring.native
         ring.close()
+        if writer is not None:
+            writer.release()
         if cv2 is not None:
             cv2.destroyAllWindows()
 
@@ -113,5 +132,7 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
         "ring_native": ring_native,
         **{f"ring_{k}": v for k, v in rb_stats.items()},
     }
+    if record is not None:
+        stats["record"] = record
     log.info("live: %s", stats)
     return stats

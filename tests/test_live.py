@@ -154,7 +154,18 @@ def test_live_loop_headless(tmp_path):
         train=dataclasses.replace(cfg.train, ckpt_dir=str(tmp_path / "none")),
     )
     src = SyntheticSource((96, 128), fps=100)
-    stats = viewer.run(cfg, display=False, max_frames=10, source=src)
+    record = str(tmp_path / "session.avi")
+    stats = viewer.run(cfg, display=False, max_frames=10, source=src,
+                       record=record)
     assert stats["frames"] == 10
     assert np.isfinite(stats["latency_p50_ms"])
     assert stats["ring_pushed"] > 0
+    # --record captured every displayed frame at frame resolution
+    import pytest
+    cv2 = pytest.importorskip("cv2")
+    cap = cv2.VideoCapture(record)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert stats["record"] == record and n == 10
