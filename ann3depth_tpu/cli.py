@@ -285,6 +285,9 @@ def build_parser():
     px.add_argument("--init", action="store_true",
                     help="export random-init params instead of requiring a "
                          "checkpoint (artifact plumbing tests)")
+    px.add_argument("--ema", action="store_true",
+                    help="bake the EMA (Polyak-averaged) weights into the "
+                         "artifact (checkpoint trained with --ema-decay)")
 
     ps = sub.add_parser(
         "serve", help="batched depth-serving HTTP server: concurrent "
@@ -497,7 +500,7 @@ def main(argv=None):
         state = loop.create_state(cfg)
         if not args.init:
             ckpt = CheckpointManager(cfg.train.ckpt_dir)
-            state, restored = ckpt.restore_params(state)
+            state, restored = ckpt.restore_params(state, use_ema=args.ema)
             ckpt.close()
             if restored is None:
                 raise RuntimeError(

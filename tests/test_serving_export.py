@@ -183,6 +183,30 @@ def test_cli_export_after_train(tmp_path, capsys):
     assert got.shape[0] == 2 and np.isfinite(got).all()
 
 
+def test_cli_export_ema_bakes_averaged_weights(tmp_path, capsys):
+    """export --ema: the artifact carries the Polyak-averaged weights
+    (distinct from the raw ones after a few steps at decay 0.5)."""
+    from ann3depth_tpu.cli import main
+
+    ckpt = tmp_path / "ckpt"
+    rc = main(["train", "--config", "smoke", "--steps", "3",
+               "--batch-size", "2", "--ema-decay", "0.5",
+               "--ckpt-dir", str(ckpt), "--workdir", str(tmp_path)])
+    assert rc == 0
+    for tag, flags in (("raw", []), ("ema", ["--ema"])):
+        rc = main(["export", "--config", "smoke", "--ckpt-dir", str(ckpt),
+                   "--out-dir", str(tmp_path / tag),
+                   "--raw-hw", "56", "72", *flags])
+        assert rc == 0
+    capsys.readouterr()
+    raw = np.load(tmp_path / "raw" / "params.npz")
+    ema = np.load(tmp_path / "ema" / "params.npz")
+    assert set(raw.files) == set(ema.files)
+    assert any(not np.array_equal(raw[k], ema[k]) for k in raw.files)
+    got = serving.load_serving(tmp_path / "ema").predict(_frames(2))
+    assert np.isfinite(got).all()
+
+
 def test_cli_export_requires_checkpoint(tmp_path):
     from ann3depth_tpu.cli import main
 
