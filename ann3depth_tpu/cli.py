@@ -364,12 +364,27 @@ def main(argv=None):
         return 0
 
     if args.mode == "eval":
+        import os
+
         from ann3depth_tpu.train import loop
         cfg = _resolve(args)
-        metrics = loop.evaluate(cfg, max_batches=args.max_batches,
-                                use_ema=args.ema,
-                                report_dir=args.report_dir,
-                                report_worst=args.report_worst)
+        common = dict(max_batches=args.max_batches, use_ema=args.ema,
+                      report_worst=args.report_worst)
+        names = list(dict.fromkeys(cfg.data.datasets))  # dedupe, keep order
+        if len(names) > 1:
+            # Per-dataset metrics for multi-dataset configs (a model
+            # trained on interleaved make3d+nyu evals each split on its
+            # own terms; a blended RMSE would hide per-domain regressions)
+            metrics = {}
+            for n in names:
+                rd = (os.path.join(args.report_dir, n)
+                      if args.report_dir else None)
+                metrics[n] = loop.evaluate(
+                    cfg, dataset=loop.build_dataset(cfg, "test", name=n),
+                    report_dir=rd, **common)
+        else:
+            metrics = loop.evaluate(cfg, report_dir=args.report_dir,
+                                    **common)
         print(json.dumps(metrics))
         return 0
 

@@ -98,6 +98,48 @@ def test_evaluate_report_rejects_multiprocess(tmp_path, monkeypatch):
         looplib.evaluate(_smoke_cfg(tmp_path), report_dir=str(tmp_path))
 
 
+def test_cli_eval_multi_dataset_per_dataset_metrics(tmp_path, capsys):
+    """--datasets a b: eval scores each test split separately (a blended
+    RMSE would hide per-domain regressions); reports go to per-dataset
+    subdirs."""
+    import scipy.io
+    from PIL import Image
+
+    from ann3depth_tpu.cli import main
+
+    # miniature Make3D test split next to the synthetic dataset
+    rng = np.random.default_rng(0)
+    base = tmp_path / "make3d"
+    for sub in ("Test134", "Gridlaserdata", "Train400Img", "Train400Depth"):
+        (base / sub).mkdir(parents=True)
+    for i in range(2):
+        sid = f"test-{i:03d}"
+        Image.fromarray(rng.integers(0, 256, (96, 72, 3), dtype=np.uint8)
+                        ).save(base / "Test134" / f"img-{sid}.jpg")
+        grid = np.zeros((55, 305, 4), np.float32)
+        grid[..., 3] = rng.uniform(1, 70, (55, 305))
+        scipy.io.savemat(
+            base / "Gridlaserdata" / f"depth_sph_corr-{sid}.mat",
+            {"Position3DGrid": grid})
+
+    rc = main(["train", "--config", "smoke", "--steps", "2",
+               "--batch-size", "2", "--ckpt-dir", str(tmp_path / "c"),
+               "--workdir", str(tmp_path / "w")])
+    assert rc == 0
+    rdir = str(tmp_path / "rep")
+    rc = main(["eval", "--config", "smoke",
+               "--datasets", "synthetic", "make3d",
+               "--data-dir", str(tmp_path), "--batch-size", "2",
+               "--ckpt-dir", str(tmp_path / "c"), "--max-batches", "1",
+               "--report-dir", rdir])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"synthetic", "make3d"}
+    for name, m in out.items():
+        assert np.isfinite(m["rmse"]) and m["rmse"] > 0, name
+        assert os.path.exists(os.path.join(rdir, name, "per_image.jsonl"))
+
+
 def test_cli_eval_report(tmp_path, capsys):
     from ann3depth_tpu.cli import main
 
