@@ -99,6 +99,8 @@ def _resolve(args) -> cfglib.Config:
         train["tensor_parallel"] = args.tensor_parallel
     if getattr(args, "ema_decay", None) is not None:
         train["ema_decay"] = args.ema_decay
+    if getattr(args, "resume_step", None) is not None:
+        train["resume_step"] = args.resume_step
     if getattr(args, "early_stop_patience", None) is not None:
         train["early_stop_patience"] = args.early_stop_patience
     if getattr(args, "early_stop_min_delta", None) is not None:
@@ -153,6 +155,10 @@ def build_parser():
     _common_flags(pt)
     pt.add_argument("--resume", action="store_true",
                     help="continue from latest checkpoint (the reference's --cont)")
+    pt.add_argument("--resume-step", type=int, metavar="N",
+                    help="resume from the checkpoint at step N instead of "
+                         "the latest (rollback; implies --resume and "
+                         "DELETES checkpoints newer than N)")
     pt.add_argument("--augment", action="store_true")
     pt.add_argument("--tensorboard", action="store_true",
                     help="also write TensorBoard event files under workdir/tb")

@@ -8,7 +8,7 @@ jitted code closes over static values only.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 from ann3depth_tpu.compat import reference_spec as ref
 
@@ -113,6 +113,11 @@ class TrainConfig:
     early_stop_min_delta: float = 0.0
     ckpt_dir: str = "checkpoints"
     resume: bool = False
+    # Resume from a SPECIFIC checkpoint step instead of the latest
+    # (rollback after a bad phase / bisection). Implies resume; newer
+    # checkpoints are deleted so the continued run's saves don't collide
+    # with the abandoned timeline.
+    resume_step: Optional[int] = None
     tensorboard: bool = False  # also write tf.summary event files
     seed: int = 0
     # Training loss (train/losses.py): "si" (Eigen eq. 4 scale-invariant

@@ -40,12 +40,31 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state):
-        """Restore latest into a template TrainState; returns (state, step).
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
 
-        If no checkpoint exists, returns (state, None) unchanged.
+    def delete(self, step: int):
+        self._mgr.delete(step)
+
+    def _resolve_step(self, step):
+        """None -> latest; explicit step must exist (rollback resumes
+        must fail loudly, not silently fall back to the newest state)."""
+        if step is None:
+            return self.latest_step()
+        if step not in self._mgr.all_steps():
+            raise ValueError(
+                f"no checkpoint at step {step} in {self.dir}; "
+                f"have {sorted(self._mgr.all_steps())}")
+        return step
+
+    def restore(self, state, step=None):
+        """Restore into a template TrainState; returns (state, step).
+
+        step None restores the latest; an explicit step restores that
+        checkpoint (rollback/bisection resumes). If no checkpoint exists,
+        returns (state, None) unchanged.
         """
-        step = self.latest_step()
+        step = self._resolve_step(step)
         if step is None:
             return state, None
         template = {"step": state.step, "params": state.params,
@@ -86,7 +105,7 @@ class CheckpointManager:
         except Exception:
             return False
 
-    def restore_params(self, state, use_ema: bool = False):
+    def restore_params(self, state, use_ema: bool = False, step=None):
         """Restore only step+params from the latest checkpoint, whatever
         optimizer layout it was trained with.
 
@@ -106,7 +125,7 @@ class CheckpointManager:
         """
         import numpy as np
 
-        step = self.latest_step()
+        step = self._resolve_step(step)
         if step is None:
             return state, None
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore())

@@ -264,11 +264,18 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         state = create_state(cfg, mesh)
     ckpt = CheckpointManager(cfg.train.ckpt_dir)
     start_step = 0
-    if cfg.train.resume:
-        state, restored = ckpt.restore(state)
+    if cfg.train.resume or cfg.train.resume_step is not None:
+        state, restored = ckpt.restore(state, step=cfg.train.resume_step)
         if restored is not None:
             start_step = int(state.step)
             log.info("resumed from checkpoint at step %d", start_step)
+            if cfg.train.resume_step is not None:
+                # Explicit rollback: drop the abandoned newer timeline so
+                # this run's saves don't collide with existing steps.
+                for s in [s for s in ckpt.all_steps() if s > restored]:
+                    log.warning("rollback resume: deleting newer "
+                                "checkpoint at step %d", s)
+                    ckpt.delete(s)
 
     # Metrics/TB/viz writers live on process 0 only (multi-host: every
     # process computes identical replicated metrics; one writes).

@@ -118,6 +118,38 @@ def test_multi_dataset_training_interleaves(tmp_path):
 
 
 @pytest.mark.slow
+def test_resume_step_rolls_back(tmp_path):
+    """--resume-step N: restore checkpoint N (not latest), delete the
+    abandoned newer ones, continue the counter from N."""
+    import dataclasses
+    import os
+
+    import pytest
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    def cfg_with(**kw):
+        cfg = get_config("smoke")
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, batch_size=2, eval_every=0, log_every=100,
+                checkpoint_every=2, ckpt_dir=str(tmp_path / "ckpt"), **kw))
+
+    looplib.train(cfg_with(steps=6), workdir=str(tmp_path), progress=False)
+    assert sorted(os.listdir(tmp_path / "ckpt")) == ["2", "4", "6"]
+
+    state, _ = looplib.train(cfg_with(steps=8, resume_step=4),
+                             workdir=str(tmp_path), progress=False)
+    assert int(state.step) == 8
+    # 6 was deleted at rollback; the continued timeline re-saved 6 and 8
+    assert sorted(os.listdir(tmp_path / "ckpt")) == ["4", "6", "8"]
+
+    with pytest.raises(ValueError, match="no checkpoint at step 5"):
+        looplib.train(cfg_with(steps=8, resume_step=5),
+                      workdir=str(tmp_path), progress=False)
+
+
 def test_training_is_bitwise_deterministic(tmp_path):
     """Two runs with the same seed produce the SAME final loss and
     params bit for bit (seeded init + seeded data order + deterministic
