@@ -76,6 +76,10 @@ def _common_flags(p):
                    help="stage the whole dataset into device HBM once and "
                         "gather batches on device (uniform-shape datasets "
                         "within the HBM budget; see DataConfig)")
+    p.add_argument("--ckpt-step", type=int, metavar="N",
+                   help="use the checkpoint saved at step N instead of "
+                        "the latest (eval/infer/live/export/serve; "
+                        "train wants --resume-step)")
     p.add_argument("--quant", choices=["none", "int8", "int8-qat"],
                    help="int8 MXU convs: 'int8' serves a bf16-trained "
                         "checkpoint quantized (eval/live/infer — rejected "
@@ -355,6 +359,9 @@ def main(argv=None):
     _default_compile_cache()
 
     if args.mode == "train":
+        if args.ckpt_step is not None:
+            raise SystemExit("train reads checkpoints via --resume / "
+                             "--resume-step, not --ckpt-step")
         if getattr(args, "multihost", False) or getattr(args, "coordinator",
                                                         None):
             from ann3depth_tpu.parallel import multihost
@@ -375,7 +382,8 @@ def main(argv=None):
         from ann3depth_tpu.train import loop
         cfg = _resolve(args)
         common = dict(max_batches=args.max_batches, use_ema=args.ema,
-                      report_worst=args.report_worst)
+                      report_worst=args.report_worst,
+                      ckpt_step=args.ckpt_step)
         names = list(dict.fromkeys(cfg.data.datasets))  # dedupe, keep order
         if len(names) > 1:
             # Per-dataset metrics for multi-dataset configs (a model
@@ -399,7 +407,8 @@ def main(argv=None):
         cfg = _resolve(args)
         stats = viewer.run(cfg, camera=args.camera, video=args.video,
                            display=not args.no_display,
-                           max_frames=args.max_frames, record=args.record)
+                           max_frames=args.max_frames, record=args.record,
+                           ckpt_step=args.ckpt_step)
         print(json.dumps(stats))
         return 0
 
@@ -472,12 +481,14 @@ def main(argv=None):
             stats = transcode.transcode(
                 cfg, args.video, out, batch=args.video_batch,
                 side_by_side=args.side_by_side, depth_npy=dnpy,
-                max_frames=args.max_frames, use_ema=args.ema)
+                max_frames=args.max_frames, use_ema=args.ema,
+                ckpt_step=args.ckpt_step)
             print(json.dumps(stats))
             return 0
         state = loop.create_state(cfg)
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
-        state, restored = ckpt.restore_params(state, use_ema=args.ema)
+        state, restored = ckpt.restore_params(state, use_ema=args.ema,
+                                              step=args.ckpt_step)
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
@@ -521,7 +532,8 @@ def main(argv=None):
         state = loop.create_state(cfg)
         if not args.init:
             ckpt = CheckpointManager(cfg.train.ckpt_dir)
-            state, restored = ckpt.restore_params(state, use_ema=args.ema)
+            state, restored = ckpt.restore_params(state, use_ema=args.ema,
+                                                  step=args.ckpt_step)
             ckpt.close()
             if restored is None:
                 raise RuntimeError(
@@ -552,7 +564,7 @@ def main(argv=None):
             cfg = _resolve(args)
             service = serverlib.service_from_config(
                 cfg, init=args.init, raw_hw=tuple(args.raw_hw),
-                use_ema=args.ema, **svc_kw)
+                use_ema=args.ema, ckpt_step=args.ckpt_step, **svc_kw)
         if not args.no_warmup:
             _logging.getLogger(__name__).info(
                 "warming up %d batch buckets...", len(

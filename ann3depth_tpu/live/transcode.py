@@ -43,7 +43,7 @@ def _open_writer(cv2, path, fps, wh):
 def transcode(cfg, video: str, out_path: str, *, batch: int = 8,
               side_by_side: bool = False, depth_npy: Optional[str] = None,
               max_frames: Optional[int] = None, state=None,
-              use_ema: bool = False) -> dict:
+              use_ema: bool = False, ckpt_step: Optional[int] = None) -> dict:
     """Transcode a video file into a depth-rendered video.
 
     Args:
@@ -71,7 +71,8 @@ def transcode(cfg, video: str, out_path: str, *, batch: int = 8,
         state = looplib.create_state(cfg)
         from ann3depth_tpu.train.checkpoint import CheckpointManager
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
-        state, restored = ckpt.restore_params(state, use_ema=use_ema)
+        state, restored = ckpt.restore_params(state, use_ema=use_ema,
+                                              step=ckpt_step)
         ckpt.close()
         if restored is None:
             log.warning("no checkpoint in %s — running with random weights",

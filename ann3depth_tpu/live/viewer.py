@@ -30,7 +30,8 @@ def _percentile(xs, p):
 
 def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
         display: bool = True, max_frames: Optional[int] = None,
-        source=None, state=None, record: Optional[str] = None) -> dict:
+        source=None, state=None, record: Optional[str] = None,
+        ckpt_step: Optional[int] = None) -> dict:
     """Run the live loop; returns latency/fps stats dict.
 
     record: optional output video path — every displayed (rendered
@@ -44,7 +45,7 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
         state = looplib.create_state(cfg)
         from ann3depth_tpu.train.checkpoint import CheckpointManager
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
-        state, restored = ckpt.restore_params(state)
+        state, restored = ckpt.restore_params(state, step=ckpt_step)
         ckpt.close()
         if restored is None:
             log.warning("no checkpoint in %s — running with random weights",

@@ -217,11 +217,12 @@ def service_from_artifact(artifact_dir, **kw) -> BatchingService:
 
 
 def service_from_config(cfg, *, ckpt_dir=None, init=False, raw_hw=(480, 640),
-                        use_ema=False, **kw) -> BatchingService:
+                        use_ema=False, ckpt_step=None, **kw) -> BatchingService:
     """Serve the in-process jitted program (registry model + checkpoint).
 
     init=True serves freshly initialized params (smoke/testing);
-    use_ema serves the checkpoint's Polyak-averaged weights.
+    use_ema serves the checkpoint's Polyak-averaged weights;
+    ckpt_step pins a specific saved step instead of the latest.
     """
     import jax
 
@@ -243,7 +244,8 @@ def service_from_config(cfg, *, ckpt_dir=None, init=False, raw_hw=(480, 640),
                                    params=params, opt_state=None,
                                    tx=None, apply_fn=model.apply)
         ckpt = CheckpointManager(ckpt_dir or cfg.train.ckpt_dir)
-        state, restored = ckpt.restore_params(state, use_ema=use_ema)
+        state, restored = ckpt.restore_params(state, use_ema=use_ema,
+                                              step=ckpt_step)
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {ckpt_dir or cfg.train.ckpt_dir}")

@@ -118,6 +118,33 @@ def test_multi_dataset_training_interleaves(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_ckpt_step_pins_the_scored_checkpoint(tmp_path, capsys):
+    """eval --ckpt-step N scores checkpoint N, not the latest — the two
+    steps' metrics differ because training moved the params."""
+    from ann3depth_tpu.cli import main
+
+    ckpt = str(tmp_path / "c")
+    rc = main(["train", "--config", "smoke", "--steps", "6",
+               "--batch-size", "2", "--ckpt-dir", ckpt,
+               "--workdir", str(tmp_path / "w")])
+    assert rc == 0  # smoke preset checkpoints every 5 -> steps 5 and 6
+    out = []
+    for extra in ([], ["--ckpt-step", "5"]):
+        rc = main(["eval", "--config", "smoke", "--batch-size", "2",
+                   "--ckpt-dir", ckpt, "--max-batches", "1", *extra])
+        assert rc == 0
+        out.append(json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]))
+    assert out[0]["rmse"] != out[1]["rmse"]
+
+    with pytest.raises(ValueError, match="no checkpoint at step 3"):
+        main(["eval", "--config", "smoke", "--batch-size", "2",
+              "--ckpt-dir", ckpt, "--ckpt-step", "3"])
+    with pytest.raises(SystemExit, match="resume-step"):
+        main(["train", "--config", "smoke", "--ckpt-dir", ckpt,
+              "--ckpt-step", "5"])
+
+
 def test_resume_step_rolls_back(tmp_path):
     """--resume-step N: restore checkpoint N (not latest), delete the
     abandoned newer ones, continue the counter from N."""
