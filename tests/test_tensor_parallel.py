@@ -134,6 +134,37 @@ def test_loop_level_tensor_parallel_cli_surface(tmp_path, cpu_mesh):
     assert np.isfinite(em["rmse"]) and em["rmse"] > 0
 
 
+@pytest.mark.slow
+def test_tp_composes_with_grad_accum(tmp_path, cpu_mesh):
+    """--tp 2 --grad-accum 2: the microbatch shards over the data axis of
+    the dp x tp mesh while the scan accumulates; one composed jitted
+    step."""
+    import dataclasses
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, datasets=("synthetic",),
+                                 input_hw=(32, 32)),
+        model=dataclasses.replace(cfg.model, name="dpt-small",
+                                  compute_dtype="float32"),
+        train=dataclasses.replace(cfg.train, batch_size=8, steps=2,
+                                  grad_accum=2, tensor_parallel=2,
+                                  ckpt_dir=str(tmp_path / "ckpt"),
+                                  checkpoint_every=10, log_every=1,
+                                  eval_every=0),
+    )
+    state, metrics = looplib.train(cfg, workdir=str(tmp_path),
+                                   progress=False)
+    assert int(state.step) == 2
+    assert np.isfinite(float(metrics["loss"]))
+    desc = rules.describe_sharding(state.params)
+    assert any("model" in v for k, v in desc.items() if "query/kernel" in k)
+
+
 def test_tp_rejects_non_dpt_models(tmp_path):
     import dataclasses
 
