@@ -26,6 +26,11 @@ def _common_flags(p):
     p.add_argument("--config", default="make3d-encdec",
                    choices=sorted(cfglib.PRESETS), help="named preset [B:6-12]")
     p.add_argument("--model", help="override model name (registry key)")
+    p.add_argument("--width-mult", type=float,
+                   help="channel-width multiplier for the conv models "
+                        "(capacity dial; priced in BASELINE.md — width 2 "
+                        "buys -4.2% RMSE at 1.73x step time on the "
+                        "synthetic protocol)")
     p.add_argument("--datasets", nargs="+", help="override dataset list")
     p.add_argument("--data-dir", help="dataset root directory")
     p.add_argument("--ckpt-dir", help="checkpoint directory")
@@ -92,6 +97,8 @@ def _resolve(args) -> cfglib.Config:
     cfg = cfglib.get_config(args.config)
     data, model, train = {}, {}, {}
     if args.model: model["name"] = args.model
+    if getattr(args, "width_mult", None) is not None:
+        model["width_mult"] = args.width_mult
     if args.datasets: data["datasets"] = tuple(args.datasets)
     if args.data_dir: data["data_dir"] = args.data_dir
     if args.ckpt_dir: train["ckpt_dir"] = args.ckpt_dir
