@@ -29,7 +29,7 @@ def _common_flags(p):
     p.add_argument("--width-mult", type=float,
                    help="channel-width multiplier for the conv models "
                         "(capacity dial; priced in BASELINE.md — width 2 "
-                        "buys -4.2% RMSE at 1.73x step time on the "
+                        "buys -4.2%% RMSE at 1.73x step time on the "
                         "synthetic protocol)")
     p.add_argument("--datasets", nargs="+", help="override dataset list")
     p.add_argument("--data-dir", help="dataset root directory")

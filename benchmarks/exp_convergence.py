@@ -67,7 +67,8 @@ def _pool_train_step(state, pool_img, pool_dep, idx, rng, *, input_hw,
 
 
 def _train_on_pool(model, cfg, pool, steps, batch, emit_s2d, seed=0,
-                   log_every=200, ema_decay=0.0, loss_kind="si"):
+                   log_every=200, ema_decay=0.0, loss_kind="si",
+                   schedule="cosine"):
     import jax
 
     from ann3depth_tpu.train import step as steplib
@@ -78,7 +79,8 @@ def _train_on_pool(model, cfg, pool, steps, batch, emit_s2d, seed=0,
 
     params = steplib.init_params(model, input_hw, seed=seed)
     tx = steplib.make_optimizer(cfg.train.learning_rate,
-                                cfg.train.warmup_steps, steps)
+                                cfg.train.warmup_steps, steps,
+                                schedule=schedule)
     state = steplib.TrainState.create(model.apply, params, tx,
                                       ema=ema_decay > 0)
     pool_img, pool_dep = pool

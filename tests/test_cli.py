@@ -54,6 +54,26 @@ def test_unknown_preset_and_bad_quant_rejected():
         cli.build_parser().parse_args(["train", "--quant", "int4"])
 
 
+def test_cli_help_renders_and_docs_fresh():
+    """Every subcommand's help must render (argparse raises on malformed
+    help strings — e.g. an unescaped %% — only at render time), and
+    docs/cli.md must match the current flags (regenerate with
+    tools/gen_cli_docs.py)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_cli_docs", os.path.join(root, "tools", "gen_cli_docs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    want = mod.generate()
+    with open(os.path.join(root, "docs", "cli.md")) as f:
+        have = f.read()
+    assert have == want, ("docs/cli.md is stale — run "
+                          "`python tools/gen_cli_docs.py`")
+
+
 def test_cli_info_reports_model_facts(capsys):
     import json
 
