@@ -388,24 +388,36 @@ def main(argv=None):
 
         from ann3depth_tpu.train import loop
         cfg = _resolve(args)
-        common = dict(max_batches=args.max_batches, use_ema=args.ema,
-                      report_worst=args.report_worst,
-                      ckpt_step=args.ckpt_step)
+        common = dict(max_batches=args.max_batches,
+                      report_worst=args.report_worst)
         names = list(dict.fromkeys(cfg.data.datasets))  # dedupe, keep order
         if len(names) > 1:
             # Per-dataset metrics for multi-dataset configs (a model
             # trained on interleaved make3d+nyu evals each split on its
-            # own terms; a blended RMSE would hide per-domain regressions)
+            # own terms; a blended RMSE would hide per-domain regressions).
+            # Restore the checkpoint ONCE and share the state across
+            # datasets — per-dataset restores would redo model init +
+            # orbax deserialize + H2D of the param tree N times.
+            from ann3depth_tpu.train.checkpoint import CheckpointManager
+            state = loop.create_state(cfg)
+            ckpt = CheckpointManager(cfg.train.ckpt_dir)
+            state, restored = ckpt.restore_params(state, use_ema=args.ema,
+                                                  step=args.ckpt_step)
+            ckpt.close()
+            if restored is None:
+                raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
             metrics = {}
             for n in names:
                 rd = (os.path.join(args.report_dir, n)
                       if args.report_dir else None)
                 metrics[n] = loop.evaluate(
-                    cfg, dataset=loop.build_dataset(cfg, "test", name=n),
+                    cfg, state=state,
+                    dataset=loop.build_dataset(cfg, "test", name=n),
                     report_dir=rd, **common)
         else:
             metrics = loop.evaluate(cfg, report_dir=args.report_dir,
-                                    **common)
+                                    use_ema=args.ema,
+                                    ckpt_step=args.ckpt_step, **common)
         print(json.dumps(metrics))
         return 0
 
@@ -420,6 +432,9 @@ def main(argv=None):
         return 0
 
     if args.mode == "info":
+        if args.ckpt_step is not None:
+            raise SystemExit("info inspects the model definition, not a "
+                             "checkpoint; --ckpt-step has no effect")
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -561,11 +576,11 @@ def main(argv=None):
         svc_kw = dict(max_batch=args.max_batch,
                       max_delay_s=args.max_delay_ms / 1e3)
         if args.artifact:
-            if args.ema:
+            if args.ema or args.ckpt_step is not None:
                 raise SystemExit(
-                    "--ema has no effect with --artifact: the artifact's "
-                    "weights were baked at export time (export from the "
-                    "EMA checkpoint instead)")
+                    "--ema/--ckpt-step have no effect with --artifact: "
+                    "the artifact's weights were baked at export time "
+                    "(re-export with those flags instead)")
             service = serverlib.service_from_artifact(args.artifact, **svc_kw)
         else:
             cfg = _resolve(args)
@@ -615,6 +630,9 @@ def main(argv=None):
         return 0
 
     if args.mode == "bench":
+        if args.ckpt_step is not None:
+            raise SystemExit("bench runs random-init params; --ckpt-step "
+                             "has no checkpoint to pin")
         cfg = _resolve(args)
         if cfg.model.quant == "int8" and not args.serving:
             # int8 convs round() has zero gradient — a "training" bench of

@@ -164,8 +164,12 @@ def transcode(cfg, video: str, out_path: str, *, batch: int = 8,
         "source_fps": round(src_fps, 3),
     }
     if depths is not None:
+        # zero-frame placeholder shape = the model's OUTPUT resolution,
+        # matching what non-empty transcodes write (live_step returns
+        # depth at output hw, not input hw)
+        out_hw = registry.output_hw(cfg.model.name, tuple(cfg.data.input_hw))
         stack = (np.concatenate(depths, axis=0) if depths
-                 else np.zeros((0,) + tuple(cfg.data.input_hw), np.float32))
+                 else np.zeros((0, *out_hw), np.float32))
         np.save(depth_npy, stack)
         stats["depth_npy"] = depth_npy
         stats["depth_hw"] = list(stack.shape[1:])

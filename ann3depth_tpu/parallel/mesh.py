@@ -75,38 +75,25 @@ def auto_data_mesh(unit_batch: int, tp: int = 1) -> Mesh:
         if len(devices) % tp:
             raise ValueError(f"{len(devices)} devices not divisible by "
                              f"tensor_parallel={tp}")
-        avail = len(devices) // tp
-        n_data = avail
-        if jax.process_count() > 1:
-            if unit_batch % n_data:
-                raise ValueError(
-                    f"per-step batch {unit_batch} is not divisible by the "
-                    f"{n_data}-wide data axis (multi-host meshes must "
-                    "span every process)")
-        else:
-            while unit_batch % n_data:
-                n_data -= 1
-            if n_data < avail:
-                import logging
-                logging.getLogger(__name__).warning(
-                    "microbatch %d not divisible by %d data-axis devices; "
-                    "using dp=%d x tp=%d", unit_batch, avail, n_data, tp)
-        return create_mesh_2d(n_data, tp)
-    n_data = len(devices)
+    # Shared shrink/divisibility policy for both the 1-D and dp x tp cases
+    avail = len(devices) // tp
+    n_data = avail
     if jax.process_count() > 1:
         if unit_batch % n_data:
             raise ValueError(
                 f"per-step batch {unit_batch} is not divisible by the "
-                f"{n_data} global devices (multi-host meshes must span "
+                f"{n_data}-wide data axis (multi-host meshes must span "
                 "every process)")
     else:
         while unit_batch % n_data:
             n_data -= 1
-        if n_data < len(devices):
+        if n_data < avail:
             import logging
             logging.getLogger(__name__).warning(
-                "batch %d not divisible by %d devices; using %d device(s)",
-                unit_batch, len(devices), n_data)
+                "batch %d not divisible by %d data-axis devices; "
+                "using dp=%d x tp=%d", unit_batch, avail, n_data, tp)
+    if tp > 1:
+        return create_mesh_2d(n_data, tp)
     return create_mesh(devices[:n_data])
 
 

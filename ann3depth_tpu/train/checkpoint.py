@@ -106,8 +106,9 @@ class CheckpointManager:
             return False
 
     def restore_params(self, state, use_ema: bool = False, step=None):
-        """Restore only step+params from the latest checkpoint, whatever
-        optimizer layout it was trained with.
+        """Restore only step+params from a checkpoint (step None = the
+        latest; an explicit step pins that save — the consumers'
+        --ckpt-step), whatever optimizer layout it was trained with.
 
         Eval/infer/export/serve need params only; a template restore would
         couple them to the trainer's opt_state structure (replicated Adam

@@ -371,6 +371,12 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     imgs_since = 0
     profiling = False
     best_eval_rmse, evals_stale = float("inf"), 0
+    best_snapshot = None  # (step, host params) at the best eval so far
+    # Best-weights capture needs a host copy of the params; with TP or
+    # multi-host sharding the local process may not hold every shard, so
+    # those runs keep the stop-step weights instead (logged at stop).
+    can_capture_best = (cfg.train.early_stop_patience > 0
+                        and tp == 1 and nproc == 1)
     try:
         for i, (img_u8, depth) in enumerate(feed):
             if i == prof_start:
@@ -444,14 +450,35 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                     if em["rmse"] < (best_eval_rmse
                                      - cfg.train.early_stop_min_delta):
                         best_eval_rmse, evals_stale = em["rmse"], 0
+                        if can_capture_best:
+                            best_snapshot = (step_no + 1, jax.tree.map(
+                                np.asarray, state.params))
                     else:
                         evals_stale += 1
                         if evals_stale >= cfg.train.early_stop_patience:
-                            log.info(
-                                "early stop at step %d: eval rmse stuck "
-                                "at %.4f (best %.4f) for %d evals",
-                                step_no + 1, em["rmse"], best_eval_rmse,
-                                evals_stale)
+                            if best_snapshot is not None:
+                                # Keras restore_best_weights semantics:
+                                # the stop-step checkpoint/state carries
+                                # the best-eval params (the weights the
+                                # feature exists to keep), not the stale
+                                # ones the stop was triggered on.
+                                bstep, bparams = best_snapshot
+                                state = state.replace(
+                                    params=meshlib.replicate(bparams, mesh))
+                                log.info(
+                                    "early stop at step %d: restored the "
+                                    "best weights (eval rmse %.4f at step "
+                                    "%d); %d stale evals",
+                                    step_no + 1, best_eval_rmse, bstep,
+                                    evals_stale)
+                            else:
+                                log.info(
+                                    "early stop at step %d: eval rmse "
+                                    "stuck at %.4f (best %.4f) for %d "
+                                    "evals (sharded run: stop-step "
+                                    "weights kept)",
+                                    step_no + 1, em["rmse"],
+                                    best_eval_rmse, evals_stale)
                             ckpt.save(step_no + 1, state)
                             break
                 t0, imgs_since = time.perf_counter(), 0
@@ -601,7 +628,8 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
                 rows.append({"index": idx,
                              **{k: float(v[i]) for k, v in fin.items()}})
                 r = float(fin["rmse"][i])
-                if len(worst) < report_worst or r > worst[0][0]:
+                if report_worst > 0 and (len(worst) < report_worst
+                                         or r > worst[0][0]):
                     # fetch only candidate images (slicing a device array
                     # transfers just the slice)
                     payload = (np.asarray(images[i]), np.asarray(depths[i]),

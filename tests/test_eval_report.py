@@ -90,6 +90,21 @@ def test_evaluate_report_dir_writes_attribution(tmp_path):
     assert grid.shape == (4 * 48, 3 * 64, 3)
 
 
+def test_evaluate_report_worst_zero_skips_grid(tmp_path):
+    """report_worst=0: per_image.jsonl only — must not crash on the
+    empty worst heap or write a grid."""
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = _smoke_cfg(tmp_path)
+    rdir = str(tmp_path / "report0")
+    m = looplib.evaluate(cfg, state=looplib.create_state(cfg),
+                         max_batches=1, report_dir=rdir, report_worst=0)
+    assert np.isfinite(m["rmse"])
+    assert os.path.exists(os.path.join(rdir, "per_image.jsonl"))
+    assert not os.path.exists(os.path.join(rdir, "worst.png"))
+    assert json.load(open(os.path.join(rdir, "summary.json")))["worst"] == []
+
+
 def test_evaluate_report_rejects_multiprocess(tmp_path, monkeypatch):
     from ann3depth_tpu.train import loop as looplib
 

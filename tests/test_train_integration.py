@@ -228,6 +228,40 @@ def test_early_stopping_halts_on_stale_eval(tmp_path):
     assert "2" in os.listdir(cfg.train.ckpt_dir)
 
 
+def test_early_stopping_restores_best_weights(tmp_path):
+    """The stop-step checkpoint carries the BEST-eval params (Keras
+    restore_best_weights semantics), not the stale weights the stop was
+    triggered on: with an unreachable min_delta the best is the step-1
+    eval, so checkpoint '2' (the stop save) must equal checkpoint '1'."""
+    import dataclasses
+
+    import jax
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+    from ann3depth_tpu.train.checkpoint import CheckpointManager
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, steps=10, batch_size=2, eval_every=1,
+            early_stop_patience=1, early_stop_min_delta=1e9,
+            checkpoint_every=1, log_every=100,
+            ckpt_dir=str(tmp_path / "ckpt")))
+    state, _ = looplib.train(cfg, workdir=str(tmp_path), progress=False)
+    assert int(state.step) == 2
+
+    template = looplib.create_state(cfg)
+    ckpt = CheckpointManager(cfg.train.ckpt_dir)
+    best, s1 = ckpt.restore_params(template, step=1)
+    stop, s2 = ckpt.restore_params(template, step=2)
+    ckpt.close()
+    assert (s1, s2) == (1, 2)
+    for a, b in zip(jax.tree.leaves(best.params),
+                    jax.tree.leaves(stop.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_early_stop_requires_in_loop_eval(tmp_path):
     import dataclasses
 
