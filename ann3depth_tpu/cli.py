@@ -588,9 +588,10 @@ def main(argv=None):
                 cfg, init=args.init, raw_hw=tuple(args.raw_hw),
                 use_ema=args.ema, ckpt_step=args.ckpt_step, **svc_kw)
         if not args.no_warmup:
+            # the service's ACTUAL bucket list (a fixed-batch artifact
+            # pins it to one bucket regardless of --max-batch)
             _logging.getLogger(__name__).info(
-                "warming up %d batch buckets...", len(
-                    serverlib._buckets(args.max_batch)))
+                "warming up %d batch buckets...", len(service._buckets))
             service.warmup()
         srv = serverlib.DepthServer(service, host=args.host, port=args.port)
         print(json.dumps({"listening": f"http://{args.host}:{srv.port}",

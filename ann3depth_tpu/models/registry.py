@@ -35,14 +35,14 @@ def build(cfg: ModelConfig):
         ctor = _REGISTRY[cfg.name]
     except KeyError:
         raise KeyError(f"unknown model {cfg.name!r}; have {available()}")
-    if getattr(cfg, "quant", "none") != "none" and cfg.name not in (
-            "encdec", "dpt"):
-        # Only encdec and dpt have quantized serving twins (ops/quant.py);
-        # failing loudly beats benchmarking bf16 under an int8 label
-        # (ADVICE r2).
+    if getattr(cfg, "quant", "none") != "none" and not (
+            cfg.name == "encdec" or cfg.name.startswith("dpt")):
+        # Only encdec and the dpt family have quantized serving twins
+        # (ops/quant.py); failing loudly beats benchmarking bf16 under an
+        # int8 label (ADVICE r2).
         raise ValueError(
-            f"quant={cfg.quant!r} is only supported by 'encdec' and "
-            f"'dpt', not {cfg.name!r}")
+            f"quant={cfg.quant!r} is only supported by 'encdec' and the "
+            f"dpt family, not {cfg.name!r}")
     if getattr(cfg, "quant", "none") == "int8-qat" and cfg.name != "encdec":
         # DPT int8 serving was measured and rejected (-14.7%, BASELINE.md),
         # so training for it would be pointless.

@@ -33,7 +33,7 @@ def run():
                "images_per_sec": r["images_per_sec"],
                "step_ms": r["step_ms"],
                "mfu_raw": r.get("mfu"),
-               "peak_hbm_gib": r.get("peak_hbm_gib")}
+               "peak_hbm_gb": r.get("peak_hbm_gb")}
         rows.append(row)
         print(json.dumps(row), flush=True)
     # XLA's cost analysis counts a scan body ONCE (bench_infer.py learned
@@ -46,8 +46,11 @@ def run():
     for row in rows[1:]:
         row["vs_accum1_pct"] = round(
             100 * (row["images_per_sec"] / base["images_per_sec"] - 1), 2)
-        row["mfu"] = round(base["mfu_raw"] * row["images_per_sec"]
-                           / base["images_per_sec"], 4)
+        # mfu_raw is absent off-TPU (device_peak_flops None): skip the
+        # correction instead of multiplying None
+        row["mfu"] = (round(base["mfu_raw"] * row["images_per_sec"]
+                            / base["images_per_sec"], 4)
+                      if base["mfu_raw"] is not None else None)
     print(json.dumps({"exp": "grad_accum_b128", "rows": rows}))
     return rows
 

@@ -200,3 +200,18 @@ def test_registry_rejects_qat_outside_encdec():
 
     with pytest.raises(ValueError, match="encdec-only"):
         registry.build(ModelConfig(name="dpt", quant="int8-qat"))
+
+
+def test_registry_quant_covers_the_dpt_family():
+    """dpt-small builds the same QDense/QMultiHeadAttention twin as dpt
+    (its ctor threads quant); 'small' has no quantized twin and must
+    fail loudly."""
+    import pytest
+
+    from ann3depth_tpu.config import ModelConfig
+    from ann3depth_tpu.models import registry
+
+    model = registry.build(ModelConfig(name="dpt-small", quant="int8"))
+    assert getattr(model, "quant", "none") == "int8"
+    with pytest.raises(ValueError, match="only supported"):
+        registry.build(ModelConfig(name="small", quant="int8"))
