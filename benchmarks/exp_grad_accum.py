@@ -33,6 +33,8 @@ def run():
                "images_per_sec": r["images_per_sec"],
                "step_ms": r["step_ms"],
                "mfu_raw": r.get("mfu"),
+               # None through the axon tunnel (memory_stats unavailable,
+               # flops.attach_memory); populated on locally-attached chips
                "peak_hbm_gb": r.get("peak_hbm_gb")}
         rows.append(row)
         print(json.dumps(row), flush=True)
