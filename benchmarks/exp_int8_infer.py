@@ -28,6 +28,10 @@ def main(batch=32, model_name="encdec"):
         from ann3depth_tpu.models.dpt import DPTDepthNet
         cfg = get_config("dpt-384")
         make = lambda quant: DPTDepthNet(remat=False, quant=quant)  # noqa: E731
+    elif model_name == "encdec-w2":
+        from ann3depth_tpu.models.encdec import EncDecDepthNet
+        cfg = get_config("encdec-w2")
+        make = lambda quant: EncDecDepthNet(width_mult=2.0, quant=quant)  # noqa: E731
     else:
         from ann3depth_tpu.models.encdec import EncDecDepthNet
         cfg = get_config("make3d-encdec")
