@@ -330,6 +330,12 @@ def build_parser():
                     help="skip precompiling the batch buckets at startup")
     ps.add_argument("--ema", action="store_true",
                     help="serve the EMA weights from the checkpoint")
+    ps.add_argument("--dp", type=int, default=1,
+                    help="shard each coalesced batch over this many local "
+                         "devices (params replicated, batch split over the "
+                         "data mesh axis); 0 = all local devices "
+                         "(checkpoint mode only — artifacts are compiled "
+                         "single-device)")
     return p
 
 
@@ -581,12 +587,18 @@ def main(argv=None):
                     "--ema/--ckpt-step have no effect with --artifact: "
                     "the artifact's weights were baked at export time "
                     "(re-export with those flags instead)")
+            if args.dp != 1:
+                raise SystemExit(
+                    "--dp requires checkpoint mode: an exported artifact "
+                    "is a single-device program (its shardings were fixed "
+                    "at export time)")
             service = serverlib.service_from_artifact(args.artifact, **svc_kw)
         else:
             cfg = _resolve(args)
             service = serverlib.service_from_config(
                 cfg, init=args.init, raw_hw=tuple(args.raw_hw),
-                use_ema=args.ema, ckpt_step=args.ckpt_step, **svc_kw)
+                use_ema=args.ema, ckpt_step=args.ckpt_step, dp=args.dp,
+                **svc_kw)
         if not args.no_warmup:
             # the service's ACTUAL bucket list (a fixed-batch artifact
             # pins it to one bucket regardless of --max-batch)

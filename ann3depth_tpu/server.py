@@ -38,8 +38,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def _buckets(max_batch: int):
-    out, b = [], 1
+def _buckets(max_batch: int, multiple: int = 1):
+    """Power-of-2 bucket ladder; with `multiple` > 1 every bucket is a
+    multiple of it (DP serving shards the batch over `multiple` devices,
+    so every dispatched shape must divide evenly)."""
+    out, b = [], multiple
     while b < max_batch:
         out.append(b)
         b *= 2
@@ -56,16 +59,27 @@ class BatchingService:
     """
 
     def __init__(self, fn, raw_hw, *, max_batch=32, max_delay_s=0.005,
-                 fixed_batch=None):
+                 fixed_batch=None, batch_multiple=1):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if batch_multiple < 1:
+            raise ValueError(
+                f"batch_multiple must be >= 1, got {batch_multiple}")
         if fixed_batch is not None:
+            if int(fixed_batch) % batch_multiple:
+                raise ValueError(
+                    f"fixed_batch={fixed_batch} is not divisible by "
+                    f"batch_multiple={batch_multiple}")
             max_batch = int(fixed_batch)
+        elif max_batch % batch_multiple:
+            # round up so the top bucket stays dispatchable
+            max_batch += batch_multiple - max_batch % batch_multiple
         self._buckets = ([int(fixed_batch)] if fixed_batch is not None
-                         else _buckets(max_batch))
+                         else _buckets(max_batch, batch_multiple))
         self._fn = fn
         self.raw_hw = tuple(raw_hw)
         self.max_batch = int(max_batch)
+        self.batch_multiple = int(batch_multiple)
         self.max_delay_s = float(max_delay_s)
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
@@ -120,6 +134,7 @@ class BatchingService:
                 "latency_p99_ms": (1e3 * lat[max(0, int(len(lat) * 0.99) - 1)]
                                    if lat else None),
                 "max_batch": self.max_batch,
+                "batch_multiple": self.batch_multiple,
                 "max_delay_ms": 1e3 * self.max_delay_s,
             }
 
@@ -217,12 +232,17 @@ def service_from_artifact(artifact_dir, **kw) -> BatchingService:
 
 
 def service_from_config(cfg, *, ckpt_dir=None, init=False, raw_hw=(480, 640),
-                        use_ema=False, ckpt_step=None, **kw) -> BatchingService:
+                        use_ema=False, ckpt_step=None, dp=1,
+                        **kw) -> BatchingService:
     """Serve the in-process jitted program (registry model + checkpoint).
 
     init=True serves freshly initialized params (smoke/testing);
     use_ema serves the checkpoint's Polyak-averaged weights;
-    ckpt_step pins a specific saved step instead of the latest.
+    ckpt_step pins a specific saved step instead of the latest;
+    dp>1 shards every coalesced batch over the first `dp` local devices
+    (params replicated, batch split over the "data" mesh axis — the
+    serving twin of DP training); dp=0 means all local devices. Bucket
+    sizes become multiples of dp so dispatched shapes always divide.
     """
     import jax
 
@@ -250,11 +270,31 @@ def service_from_config(cfg, *, ckpt_dir=None, init=False, raw_hw=(480, 640),
         if restored is None:
             raise RuntimeError(f"no checkpoint in {ckpt_dir or cfg.train.ckpt_dir}")
         params = state.params
-    fn = jax.jit(serving.make_serving_fn(model, cfg.model.name,
-                                         cfg.data.input_hw))
 
-    def predict(img_u8):
-        return np.asarray(fn(params, img_u8))
+    n_dp = len(jax.devices()) if dp == 0 else int(dp)
+    if n_dp < 1 or n_dp > len(jax.devices()):
+        raise ValueError(
+            f"dp={dp} needs {n_dp} devices, have {len(jax.devices())}")
+    serve_fn = serving.make_serving_fn(model, cfg.model.name,
+                                       cfg.data.input_hw)
+    if n_dp == 1:
+        fn = jax.jit(serve_fn)
+
+        def predict(img_u8):
+            return np.asarray(fn(params, img_u8))
+    else:
+        from ann3depth_tpu.parallel import mesh as meshlib
+
+        mesh = meshlib.create_mesh(jax.devices()[:n_dp])
+        repl = meshlib.replicated(mesh)
+        bsh = meshlib.batch_sharding(mesh)
+        params = jax.device_put(params, repl)
+        fn = jax.jit(serve_fn, in_shardings=(repl, bsh), out_shardings=bsh)
+
+        def predict(img_u8):
+            return np.asarray(fn(params, jax.device_put(img_u8, bsh)))
+
+        kw = {**kw, "batch_multiple": n_dp}
 
     return BatchingService(predict, raw_hw, **kw)
 

@@ -245,3 +245,97 @@ def test_service_from_config_real_model():
         assert np.all(out > 0)  # linear depth
     finally:
         svc.close()
+
+
+def test_buckets_with_multiple():
+    assert serverlib._buckets(32, 4) == [4, 8, 16, 32]
+    assert serverlib._buckets(12, 4) == [4, 8, 12]
+    assert serverlib._buckets(4, 4) == [4]
+
+
+def test_batch_multiple_pads_and_rounds():
+    """batch_multiple (DP serving) keeps every dispatched shape divisible:
+    min bucket = multiple, max_batch rounds up, warmup hits each bucket."""
+    sizes = []
+
+    def spy(frames):
+        assert frames.shape[0] % 4 == 0
+        sizes.append(frames.shape[0])
+        return _ref_fn(frames)
+
+    svc = serverlib.BatchingService(spy, RAW_HW, max_batch=10,
+                                    batch_multiple=4, max_delay_s=0.005)
+    try:
+        assert svc.max_batch == 12 and svc._buckets == [4, 8, 12]
+        svc.warmup()
+        assert sizes == [4, 8, 12]
+        f = _frame(11)
+        np.testing.assert_allclose(svc.predict(f), _ref_fn(f[None])[0],
+                                   rtol=1e-6)
+        assert svc.stats()["batch_multiple"] == 4
+    finally:
+        svc.close()
+
+    with pytest.raises(ValueError, match="divisible"):
+        serverlib.BatchingService(_ref_fn, RAW_HW, fixed_batch=6,
+                                  batch_multiple=4)
+
+
+def test_service_from_config_dp_matches_single_device():
+    """DP serving (batch sharded over the fake 8-device CPU mesh) returns
+    the same depths as the single-device service for the same frames."""
+    import dataclasses
+
+    from ann3depth_tpu.config import get_config
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, input_hw=(48, 64)))
+    frames = [np.random.default_rng(i).integers(0, 256, (56, 72, 3),
+                                                dtype=np.uint8)
+              for i in range(6)]
+
+    svc1 = serverlib.service_from_config(cfg, init=True, raw_hw=(56, 72),
+                                         max_batch=8, max_delay_s=0.005)
+    try:
+        ref = [svc1.predict(f) for f in frames]
+    finally:
+        svc1.close()
+
+    svc4 = serverlib.service_from_config(cfg, init=True, raw_hw=(56, 72),
+                                         max_batch=8, max_delay_s=0.02,
+                                         dp=4)
+    try:
+        assert svc4.batch_multiple == 4
+        futs = [svc4.submit(f) for f in frames]  # coalesce across devices
+        out = [fut.result(timeout=60.0) for fut in futs]
+        st = svc4.stats()
+    finally:
+        svc4.close()
+
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(o, r, rtol=2e-2, atol=2e-2)
+    # every dispatched bucket was divisible by dp
+    assert all(int(k) <= 8 for k in st["batch_size_hist"])
+
+
+def test_service_from_config_dp_zero_uses_all_devices():
+    import dataclasses
+
+    import jax
+
+    from ann3depth_tpu.config import get_config
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, input_hw=(48, 64)))
+    svc = serverlib.service_from_config(cfg, init=True, raw_hw=(56, 72),
+                                        max_batch=16, dp=0)
+    try:
+        assert svc.batch_multiple == len(jax.devices())
+    finally:
+        svc.close()
+
+    with pytest.raises(ValueError, match="devices"):
+        serverlib.service_from_config(cfg, init=True, raw_hw=(56, 72),
+                                      dp=len(jax.devices()) + 1)
