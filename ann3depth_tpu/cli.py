@@ -336,6 +336,28 @@ def build_parser():
                          "data mesh axis); 0 = all local devices "
                          "(checkpoint mode only — artifacts are compiled "
                          "single-device)")
+
+    pw = sub.add_parser(
+        "sweep", help="hyperparameter grid search: sequential train+eval "
+        "trials over --param axes, ledger in <out-dir>/sweep.jsonl, best "
+        "trial in summary.json (the reference's SGE job-array sweeps, "
+        "in-process)")
+    _common_flags(pw)
+    pw.add_argument("--param", action="append", default=[],
+                    metavar="dotted.path=v1,v2,...", required=True,
+                    help="one grid axis over a config field, e.g. "
+                         "train.learning_rate=1e-4,3e-4 (repeatable; the "
+                         "grid is the cartesian product)")
+    pw.add_argument("--out-dir", required=True,
+                    help="sweep root: per-trial subdirs + sweep.jsonl + "
+                         "summary.json")
+    pw.add_argument("--metric", default="rmse",
+                    help="eval metric that ranks trials (rmse, abs_rel, "
+                         "log10, rmse_log, loss minimize; delta1-3 "
+                         "maximize). default: rmse")
+    pw.add_argument("--max-eval-batches", type=int,
+                    help="bound each trial's eval (full test split "
+                         "otherwise)")
     return p
 
 
@@ -615,6 +637,19 @@ def main(argv=None):
             pass
         finally:
             srv.close()
+        return 0
+
+    if args.mode == "sweep":
+        from ann3depth_tpu import sweep as sweeplib
+
+        cfg = _resolve(args)
+        grid = [sweeplib.parse_param(spec) for spec in args.param]
+        result = sweeplib.run_sweep(cfg, grid, args.out_dir,
+                                    metric=args.metric,
+                                    max_eval_batches=args.max_eval_batches)
+        print(json.dumps({"best": result["best"],
+                          "n_trials": len(result["rows"]),
+                          "summary": result["summary_path"]}))
         return 0
 
     if args.mode == "download":

@@ -14,7 +14,7 @@ os.environ["COLUMNS"] = "80"  # stable help wrapping across terminals
 from ann3depth_tpu.cli import build_parser
 
 SUBS = ["train", "eval", "live", "infer", "download", "prepare", "bench",
-        "export", "serve", "info"]
+        "export", "serve", "sweep", "info"]
 
 
 def _help_of(parser, argv):
