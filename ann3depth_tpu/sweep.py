@@ -104,6 +104,10 @@ def run_sweep(cfg: Config, grid: Sequence[Tuple[str, List[Any]]],
     Trials run sequentially (one device owns each training; a mesh-wide
     training already uses every chip, so queueing is the right policy) and
     independently: each gets its own ckpt dir, fresh state, and eval.
+
+    Resumable: trials already recorded in <out_dir>/sweep.jsonl with the
+    SAME overrides are skipped (a killed sweep rerun with the same grid
+    continues where it died; a changed grid re-runs what changed).
     """
     from ann3depth_tpu.train import loop
 
@@ -113,9 +117,23 @@ def run_sweep(cfg: Config, grid: Sequence[Tuple[str, List[Any]]],
     ledger = os.path.join(out_dir, "sweep.jsonl")
     maximize = metric in _MAXIMIZE
 
+    done: Dict[int, dict] = {}
+    if os.path.exists(ledger):
+        with open(ledger) as f:
+            for line in f:
+                row = json.loads(line)
+                done[row["trial"]] = row
+
     rows = []
     for i, combo in enumerate(combos):
         overrides = dict(zip(paths, combo))
+        prior = done.get(i)
+        if prior is not None and prior["overrides"] == overrides:
+            if progress:
+                print(f"[sweep] trial {i + 1}/{len(combos)}: {overrides} "
+                      "(already recorded, skipping)", flush=True)
+            rows.append(prior)
+            continue
         trial_dir = os.path.join(out_dir, f"trial_{i:03d}")
         tcfg = apply_overrides(cfg, overrides)
         tcfg = dataclasses.replace(

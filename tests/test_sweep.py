@@ -106,3 +106,37 @@ def test_sweep_unknown_metric(tmp_path):
     with pytest.raises(KeyError, match="--metric"):
         sweeplib.run_sweep(cfg, grid, str(tmp_path / "s"), metric="nope",
                            max_eval_batches=1, progress=False)
+
+
+@pytest.mark.slow
+def test_sweep_resume_skips_recorded_trials(tmp_path, monkeypatch):
+    """Re-running a finished sweep touches no training: every trial is
+    served from the ledger. A changed grid re-runs only the new point."""
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, input_hw=(48, 64)),
+        train=dataclasses.replace(cfg.train, steps=2, batch_size=2,
+                                  checkpoint_every=2, log_every=2))
+    out_dir = str(tmp_path / "sweep")
+    grid = [sweeplib.parse_param("train.learning_rate=1e-3,1e-4")]
+    first = sweeplib.run_sweep(cfg, grid, out_dir, metric="rmse",
+                               max_eval_batches=1, progress=False)
+
+    from ann3depth_tpu.train import loop as looplib
+
+    def boom(*a, **k):
+        raise AssertionError("train re-ran for a recorded trial")
+
+    monkeypatch.setattr(looplib, "train", boom)
+    second = sweeplib.run_sweep(cfg, grid, out_dir, metric="rmse",
+                                max_eval_batches=1, progress=False)
+    assert [r["trial"] for r in second["rows"]] == [0, 1]
+    assert second["best"]["trial"] == first["best"]["trial"]
+
+    # widening the grid re-runs only the new combination
+    monkeypatch.undo()
+    grid3 = [sweeplib.parse_param("train.learning_rate=1e-3,1e-4,3e-4")]
+    third = sweeplib.run_sweep(cfg, grid3, out_dir, metric="rmse",
+                               max_eval_batches=1, progress=False)
+    assert len(third["rows"]) == 3
