@@ -212,6 +212,10 @@ def build_parser():
     pe.add_argument("--report-worst", type=int, default=8,
                     help="how many highest-RMSE images worst.png renders "
                          "(default 8)")
+    pe.add_argument("--tta", choices=["flip"], default="",
+                    help="test-time augmentation: average the prediction "
+                         "with the mirrored-input prediction (second "
+                         "forward pass; quality priced in BASELINE.md)")
 
     pl = sub.add_parser("live", help="continuous depth view from camera/video")
     _common_flags(pl)
@@ -257,6 +261,9 @@ def build_parser():
                          "back-projection (default 55)")
     pi.add_argument("--ema", action="store_true",
                     help="use the EMA weights from the checkpoint")
+    pi.add_argument("--tta", choices=["flip"], default="",
+                    help="with --image: average with the mirrored-input "
+                         "prediction (second forward pass)")
 
     pn = sub.add_parser("info", help="inspect a model/config: parameter "
                         "count, shapes, registry, optional XLA FLOPs")
@@ -417,7 +424,7 @@ def main(argv=None):
         from ann3depth_tpu.train import loop
         cfg = _resolve(args)
         common = dict(max_batches=args.max_batches,
-                      report_worst=args.report_worst)
+                      report_worst=args.report_worst, tta=args.tta)
         names = list(dict.fromkeys(cfg.data.datasets))  # dedupe, keep order
         if len(names) > 1:
             # Per-dataset metrics for multi-dataset configs (a model
@@ -548,7 +555,7 @@ def main(argv=None):
             img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
             depth = np.asarray(steplib.infer_step(
                 state.apply_fn, state.params, img[None],
-                input_hw=cfg.data.input_hw))[0]
+                input_hw=cfg.data.input_hw, tta=args.tta))[0]
             stem = os.path.splitext(os.path.basename(path))[0]
             npy = os.path.join(args.out_dir, f"{stem}_depth.npy")
             np.save(npy, depth)

@@ -521,7 +521,7 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
 
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
              mesh=None, use_ema=False, report_dir=None, report_worst=8,
-             ckpt_step=None):
+             ckpt_step=None, tta=""):
     """Eval loop: accumulate global sufficient statistics over the test
     split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
     error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
@@ -586,7 +586,8 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     step_kw = dict(input_hw=cfg.data.input_hw,
                    target_hw=resolved_target_hw(cfg),
                    si_lambda=cfg.train.si_lambda,
-                   use_pallas=_use_pallas(cfg), loss_kind=cfg.train.loss)
+                   use_pallas=_use_pallas(cfg), loss_kind=cfg.train.loss,
+                   tta=tta)
     totals = {}
     rows, worst = [], []  # report mode: per-image rows + worst-K heap
     for b, (img_u8, depth) in enumerate(

@@ -310,12 +310,32 @@ def _train_step_accum(state, img_u8, depth_raw, rng, *, input_hw, target_hw,
                                                 ema_decay)), metrics
 
 
+def apply_with_tta(apply_fn, params, images, tta=""):
+    """Forward pass with optional test-time augmentation.
+
+    tta="flip": average the prediction with the un-flipped prediction of
+    the horizontally mirrored input — the standard depth-eval ensemble
+    (Eigen-lineage evaluations mirror at test time). The average is taken
+    in LINEAR depth, computed stably in log space:
+    log(0.5*(e^a + e^b)) = logaddexp(a, b) - log 2. Costs a second
+    forward pass; priced on the synthetic convergence protocol
+    (benchmarks/exp_tta.py, BASELINE.md)."""
+    pred_log = apply_fn({"params": params}, images)
+    if tta == "flip":
+        flipped = apply_fn({"params": params}, images[:, :, ::-1, :])
+        pred_log = (jnp.logaddexp(pred_log, flipped[:, :, ::-1, :])
+                    - jnp.log(2.0).astype(pred_log.dtype))
+    elif tta:
+        raise ValueError(f"unknown tta mode {tta!r} (have: 'flip')")
+    return pred_log
+
+
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
                                              "si_lambda", "use_pallas",
-                                             "loss_kind"))
+                                             "loss_kind", "tta"))
 def eval_stats_step(state: TrainState, img_u8, depth_raw, *, input_hw,
                     target_hw, si_lambda=0.5, use_pallas=False,
-                    loss_kind="si"):
+                    loss_kind="si", tta=""):
     """Eval: preprocess -> forward -> SUFFICIENT STATISTICS (no augment).
 
     Returns summable f32 scalars (losses.depth_metric_stats); the eval loop
@@ -326,17 +346,17 @@ def eval_stats_step(state: TrainState, img_u8, depth_raw, *, input_hw,
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=None,
         use_pallas=use_pallas)
-    pred_log = state.apply_fn({"params": state.params}, images)
+    pred_log = apply_with_tta(state.apply_fn, state.params, images, tta)
     return losses.depth_metric_stats(pred_log, depths, si_lambda=si_lambda,
                                      loss_kind=loss_kind)
 
 
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
                                              "si_lambda", "use_pallas",
-                                             "loss_kind"))
+                                             "loss_kind", "tta"))
 def eval_report_step(state: TrainState, img_u8, depth_raw, *, input_hw,
                      target_hw, si_lambda=0.5, use_pallas=False,
-                     loss_kind="si"):
+                     loss_kind="si", tta=""):
     """Eval with per-image attribution (loop.evaluate's report path).
 
     One device program returns (per_image_stats [B]-leaved dict incl. the
@@ -347,7 +367,7 @@ def eval_report_step(state: TrainState, img_u8, depth_raw, *, input_hw,
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=None,
         use_pallas=use_pallas)
-    pred_log = state.apply_fn({"params": state.params}, images)
+    pred_log = apply_with_tta(state.apply_fn, state.params, images, tta)
     per = losses.per_image_metric_stats(pred_log, depths)
     per["si_loss"] = losses.per_image_depth_loss(
         pred_log, depths, kind=loss_kind, lam=si_lambda)
@@ -363,12 +383,13 @@ def eval_step(state: TrainState, img_u8, depth_raw, *, input_hw, target_hw,
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw",
-                                             "use_pallas"))
-def infer_step(apply_fn, params, img_u8, *, input_hw, use_pallas=False):
+                                             "use_pallas", "tta"))
+def infer_step(apply_fn, params, img_u8, *, input_hw, use_pallas=False,
+               tta=""):
     """Inference: raw uint8 frame(s) -> linear depth map [B,h,w]."""
     images = preprocess.preprocess_image(img_u8, input_hw,
                                          use_pallas=use_pallas)
-    pred_log = apply_fn({"params": params}, images)
+    pred_log = apply_with_tta(apply_fn, params, images, tta)
     return jnp.exp(pred_log[..., 0])
 
 

@@ -107,7 +107,7 @@ def _train_on_pool(model, cfg, pool, steps, batch, emit_s2d, seed=0,
 
 
 def _eval_on_pool(apply_fn, params, cfg, pool, batch, target_hw,
-                  model_name=None):
+                  model_name=None, tta=""):
     """Full-pool eval via global sufficient statistics (losses.py)."""
     import jax
 
@@ -123,7 +123,7 @@ def _eval_on_pool(apply_fn, params, cfg, pool, batch, target_hw,
         stats = steplib.eval_stats_step(
             state, pool_img[lo:lo + batch], pool_dep[lo:lo + batch],
             input_hw=tuple(cfg.data.input_hw), target_hw=target_hw,
-            si_lambda=cfg.train.si_lambda)
+            si_lambda=cfg.train.si_lambda, tta=tta)
         for k, v in stats.items():
             totals[k] = totals[k] + v if k in totals else v
     totals = {k: float(v) for k, v in jax.device_get(totals).items()}
