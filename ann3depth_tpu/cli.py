@@ -118,6 +118,8 @@ def _resolve(args) -> cfglib.Config:
         train["early_stop_min_delta"] = args.early_stop_min_delta
     if getattr(args, "eval_every", None) is not None:
         train["eval_every"] = args.eval_every
+    if getattr(args, "save_best", False):
+        train["save_best"] = True
     if args.steps is not None: train["steps"] = args.steps
     if args.learning_rate is not None:
         train["learning_rate"] = args.learning_rate
@@ -182,6 +184,12 @@ def build_parser():
     pt.add_argument("--early-stop-min-delta", type=float,
                     help="minimum RMSE improvement that resets the "
                          "early-stop counter (default 0)")
+    pt.add_argument("--save-best", action="store_true",
+                    help="keep a separate best-in-loop-eval checkpoint "
+                         "under <ckpt-dir>/best (one slot, overwritten on "
+                         "improvement; survives crashes/resumes via "
+                         "best_metric.json; requires --eval-every). "
+                         "Serve/eval it with --ckpt-dir <ckpt-dir>/best")
     pt.add_argument("--workdir", help="metrics/log directory (default: ckpt dir)")
     pt.add_argument("--profile", metavar="DIR",
                     help="emit a jax.profiler (TensorBoard/Perfetto) trace of "

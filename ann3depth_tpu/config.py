@@ -111,6 +111,14 @@ class TrainConfig:
     # eval_every/patience generously on noisy data.
     early_stop_patience: int = 0
     early_stop_min_delta: float = 0.0
+    # Keep a separate best-eval checkpoint under <ckpt_dir>/best/ (one
+    # retained step, overwritten whenever the in-loop eval RMSE improves;
+    # requires eval_every > 0). Unlike early stopping's in-memory best
+    # weights, this survives crashes and resumes: <ckpt_dir>/best_metric
+    # .json pins the RMSE the retained step scored, so a resumed run only
+    # overwrites it with a genuine improvement. Serve/eval it by pointing
+    # --ckpt-dir at <ckpt_dir>/best.
+    save_best: bool = False
     ckpt_dir: str = "checkpoints"
     resume: bool = False
     # Resume from a SPECIFIC checkpoint step instead of the latest

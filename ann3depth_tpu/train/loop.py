@@ -146,6 +146,10 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             "early_stop_patience needs in-loop eval to watch: set "
             "eval_every > 0 (the stop criterion is the eval RMSE)")
+    if cfg.train.save_best and not cfg.train.eval_every:
+        raise ValueError(
+            "save_best needs in-loop eval to rank checkpoints: set "
+            "eval_every > 0")
     tp = cfg.train.tensor_parallel
     if tp < 1:
         raise ValueError(f"tensor_parallel must be >= 1, got {tp} "
@@ -372,6 +376,24 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     profiling = False
     best_eval_rmse, evals_stale = float("inf"), 0
     best_snapshot = None  # (step, host params) at the best eval so far
+    best_ckpt = best_metric_path = None
+    if cfg.train.save_best:
+        import json as _json
+
+        # A second one-slot manager under <ckpt_dir>/best; the sibling
+        # best_metric.json pins the RMSE the retained step scored so a
+        # RESUMED run only overwrites it with a genuine improvement
+        # (best_eval_rmse otherwise restarts at inf).
+        best_ckpt = CheckpointManager(
+            os.path.join(cfg.train.ckpt_dir, "best"), max_to_keep=1)
+        best_metric_path = os.path.join(cfg.train.ckpt_dir,
+                                        "best_metric.json")
+        if os.path.exists(best_metric_path):
+            with open(best_metric_path) as f:
+                prior = _json.load(f)
+            best_eval_rmse = min(best_eval_rmse, float(prior["rmse"]))
+            log.info("save_best: resuming against prior best rmse %.4f "
+                     "(step %d)", prior["rmse"], prior["step"])
     # Best-weights capture needs a host copy of the params; with TP or
     # multi-host sharding the local process may not hold every shard, so
     # those runs keep the stop-step weights instead (logged at stop).
@@ -443,7 +465,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 if progress:
                     log.info("eval @%d rmse=%.3f abs_rel=%.3f", step_no + 1,
                              em["rmse"], em["abs_rel"])
-                if cfg.train.early_stop_patience:
+                if cfg.train.early_stop_patience or best_ckpt is not None:
                     # em is a deterministic finalize of collectively-
                     # reduced stats, so every process sees the same
                     # number and stops at the same step.
@@ -453,9 +475,19 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                         if can_capture_best:
                             best_snapshot = (step_no + 1, jax.tree.map(
                                 np.asarray, state.params))
+                        if best_ckpt is not None:
+                            import json as _json
+
+                            best_ckpt.save(step_no + 1, state)
+                            if proc0:
+                                with open(best_metric_path, "w") as f:
+                                    _json.dump({"rmse": float(em["rmse"]),
+                                                "step": step_no + 1}, f)
                     else:
                         evals_stale += 1
-                        if evals_stale >= cfg.train.early_stop_patience:
+                        if (cfg.train.early_stop_patience
+                                and evals_stale
+                                >= cfg.train.early_stop_patience):
                             if best_snapshot is not None:
                                 # Keras restore_best_weights semantics:
                                 # the stop-step checkpoint/state carries
@@ -491,6 +523,9 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         feed.close()
         ckpt.wait()
         ckpt.close()
+        if best_ckpt is not None:
+            best_ckpt.wait()
+            best_ckpt.close()
         if writer is not None:
             writer.close()
         if tb is not None:

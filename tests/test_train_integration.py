@@ -379,3 +379,96 @@ def test_clip_norm_nonpositive_disables_clipping():
     tx_c = steplib.make_optimizer(1e-2, clip_norm=1e-6)
     upd_c, _ = tx_c.update(grads, tx_c.init(params), params)
     assert jax.tree.leaves(upd_c)[0].shape == (4,)
+
+
+def test_save_best_keeps_best_eval_checkpoint(tmp_path):
+    """--save-best retains a one-slot checkpoint of the best in-loop eval
+    and pins its score in best_metric.json (min of the eval_rmse log)."""
+    import dataclasses
+    import json
+    import os
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+    from ann3depth_tpu.train.checkpoint import CheckpointManager
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, steps=6, batch_size=2, eval_every=2,
+            save_best=True, checkpoint_every=6, log_every=100,
+            learning_rate=3e-3, ckpt_dir=str(tmp_path / "ckpt")))
+    looplib.train(cfg, workdir=str(tmp_path), progress=False)
+
+    mpath = tmp_path / "ckpt" / "best_metric.json"
+    assert mpath.exists()
+    with open(mpath) as f:
+        best = json.load(f)
+
+    evals = []
+    with open(tmp_path / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "eval_rmse" in rec:
+                evals.append((rec["step"], rec["eval_rmse"]))
+    assert evals, "no in-loop evals were logged"
+    min_step, min_rmse = min(evals, key=lambda e: e[1])
+    assert best["step"] == min_step
+    assert abs(best["rmse"] - min_rmse) < 1e-9
+
+    best_dir = str(tmp_path / "ckpt" / "best")
+    ckpt = CheckpointManager(best_dir)
+    try:
+        assert ckpt.all_steps() == [best["step"]]  # one retained slot
+        template = looplib.create_state(cfg)
+        _, step = ckpt.restore_params(template)
+        assert step == best["step"]
+    finally:
+        ckpt.close()
+
+
+def test_save_best_respects_prior_metric_on_resume(tmp_path):
+    """A run resumed against an unbeatable recorded best never overwrites
+    the best slot (the crash-survival guard)."""
+    import dataclasses
+    import json
+    import os
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    ckpt_dir = tmp_path / "ckpt"
+    os.makedirs(ckpt_dir)
+    with open(ckpt_dir / "best_metric.json", "w") as f:
+        json.dump({"rmse": 0.0, "step": 999}, f)
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, steps=4, batch_size=2, eval_every=2,
+            save_best=True, checkpoint_every=4, log_every=100,
+            ckpt_dir=str(ckpt_dir)))
+    looplib.train(cfg, workdir=str(tmp_path), progress=False)
+
+    with open(ckpt_dir / "best_metric.json") as f:
+        assert json.load(f) == {"rmse": 0.0, "step": 999}  # untouched
+    best_steps = [d for d in os.listdir(ckpt_dir / "best")
+                  if d.isdigit()] if (ckpt_dir / "best").exists() else []
+    assert best_steps == []
+
+
+def test_save_best_requires_in_loop_eval(tmp_path):
+    import dataclasses
+
+    import pytest
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, steps=2, batch_size=2, eval_every=0, save_best=True,
+            ckpt_dir=str(tmp_path / "ckpt")))
+    with pytest.raises(ValueError, match="save_best"):
+        looplib.train(cfg, workdir=str(tmp_path), progress=False)
