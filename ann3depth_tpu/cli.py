@@ -368,8 +368,8 @@ def build_parser():
                          "summary.json")
     pw.add_argument("--metric", default="rmse",
                     help="eval metric that ranks trials (rmse, abs_rel, "
-                         "log10, rmse_log, loss minimize; delta1-3 "
-                         "maximize). default: rmse")
+                         "sq_rel, log10, rmse_log, silog, loss minimize; "
+                         "delta1-3 maximize). default: rmse")
     pw.add_argument("--max-eval-batches", type=int,
                     help="bound each trial's eval (full test split "
                          "otherwise)")

@@ -175,7 +175,11 @@ def per_image_metric_stats(pred_log, target, mask=None):
         "sum_sq": jnp.sum(diff * diff, axis=axes),
         "sum_sq_log": jnp.sum(dlog * dlog, axis=axes),
         "sum_abs_rel": jnp.sum(jnp.abs(pred - tgt) / tgt * z, axis=axes),
+        "sum_sq_rel": jnp.sum(diff * diff / tgt, axis=axes),
         "sum_abs_log": jnp.sum(jnp.abs(dlog), axis=axes),
+        # signed log-error sum: with sum_sq_log it yields SILog (the
+        # variance of the log error — KITTI's leaderboard metric)
+        "sum_dlog": jnp.sum(dlog, axis=axes),
         **{f"n_delta{i}": jnp.sum((ratio < 1.25**i) & valid,
                                   axis=axes).astype(jnp.float32)
            for i in (1, 2, 3)},
@@ -188,11 +192,16 @@ def finalize_depth_metrics(stats):
     only +, *, /, ** and comparisons are used."""
     n = stats["n_valid"]
     n = n + (n < 0.5)  # max(n, 1) without jnp/np dispatch
+    # SILog = sqrt(var of the log error) — clamped at 0 against fp
+    # cancellation; x*(x>0) keeps finalize jnp/np-dispatch-free.
+    sivar = stats["sum_sq_log"] / n - (stats["sum_dlog"] / n) ** 2
     out = {
         "rmse": (stats["sum_sq"] / n) ** 0.5,
         "rmse_log": (stats["sum_sq_log"] / n) ** 0.5,
         "abs_rel": stats["sum_abs_rel"] / n,
+        "sq_rel": stats["sum_sq_rel"] / n,
         "log10": stats["sum_abs_log"] / _LOG10 / n,
+        "silog": (sivar * (sivar > 0)) ** 0.5,
         **{f"delta{i}": stats[f"n_delta{i}"] / n for i in (1, 2, 3)},
     }
     if "sum_si_loss" in stats:

@@ -70,6 +70,24 @@ def test_depth_metrics_oracle():
     want_rmse = float(np.sqrt(np.mean((pred - target) ** 2)))
     assert m["rmse"] == pytest.approx(want_rmse, rel=1e-4)
     assert m["rmse_log"] == pytest.approx(abs(np.log(1.1)), rel=1e-3)
+    # KITTI-set extras: sq_rel = mean((p-t)^2/t) = 0.01*mean(t) here;
+    # a CONSTANT log error has zero variance, so SILog ~ 0
+    assert m["sq_rel"] == pytest.approx(0.01 * float(target.mean()),
+                                        rel=1e-3)
+    assert m["silog"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_silog_matches_numpy_variance_oracle():
+    rng = np.random.default_rng(5)
+    target = rng.uniform(1.0, 50.0, (3, 8, 8)).astype(np.float32)
+    pred_log = np.log(target) + rng.normal(0, 0.2, target.shape).astype(
+        np.float32)
+    m = {k: float(v) for k, v in losses.depth_metrics(pred_log,
+                                                      target).items()}
+    dlog = pred_log - np.log(target)
+    assert m["silog"] == pytest.approx(float(dlog.std()), rel=1e-3)
+    assert m["sq_rel"] == pytest.approx(
+        float(np.mean((np.exp(pred_log) - target) ** 2 / target)), rel=1e-3)
 
 
 def test_global_accumulation_equals_numpy_oracle():
