@@ -153,6 +153,12 @@ def _resolve(args) -> cfglib.Config:
         train["profile_steps"] = args.profile_steps
     if getattr(args, "tensorboard", False): train["tensorboard"] = True
     if getattr(args, "augment", False): data["augment"] = True
+    live = {}
+    if getattr(args, "smooth", None) is not None:
+        live["smooth"] = args.smooth
+    if live:
+        cfg = dataclasses.replace(
+            cfg, live=dataclasses.replace(cfg.live, **live))
     for section, overrides in (("data", data), ("model", model), ("train", train)):
         if overrides:
             cfg = dataclasses.replace(
@@ -236,6 +242,11 @@ def build_parser():
                     help="also append every displayed depth frame to this "
                          "video file (what the session showed, drops "
                          "included; offline files want `infer --video`)")
+    pl.add_argument("--smooth", type=float,
+                    help="temporal EMA coefficient in [0,1): blend each "
+                         "frame's log-depth with the previous one inside "
+                         "the device program (flicker suppression; 0.8 is "
+                         "a good start)")
 
     pi = sub.add_parser("infer", help="predict depth maps for image file(s) "
                         "or transcode a whole video offline")

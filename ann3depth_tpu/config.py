@@ -149,6 +149,10 @@ class LiveConfig:
     target_fps: int = 30
     ring_capacity: int = 8
     camera_index: int = 0
+    # >0: temporal EMA over frames in log-depth inside the live program
+    # (logd_t = smooth*logd_{t-1} + (1-smooth)*logd) — kills frame-to-
+    # frame flicker at zero extra dispatches; first frame passes through.
+    smooth: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

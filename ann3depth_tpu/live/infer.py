@@ -40,13 +40,21 @@ def _turbo_lut():
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw",
                                              "display_hw", "use_pallas",
-                                             "emit_s2d"))
+                                             "emit_s2d", "smooth"))
 def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
-              use_pallas=False, emit_s2d=0):
+              use_pallas=False, emit_s2d=0, prev_log=None, has_prev=None,
+              smooth=0.0):
     """[1, H, W, 3] uint8 -> (depth [1, h, w], rendered [1, Hd, Wd, 3] u8).
 
     emit_s2d: hand the model the pre-space-to-depth layout straight from
-    the preprocess matmuls (encdec stems; train/loop.py wires the same)."""
+    the preprocess matmuls (encdec stems; train/loop.py wires the same).
+
+    smooth > 0: temporal EMA over frames in log-depth —
+    logd_t = smooth * logd_{t-1} + (1-smooth) * logd (kills frame-to-frame
+    flicker in the live view); prev_log carries the previous smoothed
+    log-depth, has_prev (f32 scalar, 0 on the first frame) gates the blend
+    so frame 0 passes through. The smoothed program additionally returns
+    the new carry: (depth, rendered, logd)."""
     # DEFAULT resize precision is the live path's deliberate choice (the
     # model computes in bf16; exact-f32 resize would add MXU passes to a
     # latency-bound program) — the recorded live-latency baselines measure
@@ -57,10 +65,13 @@ def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
                                          emit_s2d=emit_s2d,
                                          precision=jax.lax.Precision.DEFAULT)
     pred_log = apply_fn({"params": params}, images)
-    depth = jnp.exp(pred_log[..., 0])
+    logd = pred_log[..., 0]
+    if smooth > 0:
+        blended = smooth * prev_log + (1.0 - smooth) * logd
+        logd = jnp.where(has_prev > 0, blended, logd)
+    depth = jnp.exp(logd)
 
     # normalize per-frame to [0,1] for display (log scale reads better)
-    logd = pred_log[..., 0]
     lo = jnp.min(logd, axis=(1, 2), keepdims=True)
     hi = jnp.max(logd, axis=(1, 2), keepdims=True)
     norm = (logd - lo) / jnp.maximum(hi - lo, 1e-6)
@@ -77,6 +88,8 @@ def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
         disp = jax.image.resize(norm, (b, *display_hw), method="bilinear")
     idx = jnp.clip((disp * 255.0).astype(jnp.int32), 0, 255)
     rendered = jnp.take(_turbo_lut(), idx, axis=0).astype(jnp.uint8)
+    if smooth > 0:
+        return depth, rendered, logd
     return depth, rendered
 
 
@@ -84,7 +97,7 @@ class LiveEngine:
     """Premapped, precompiled per-frame inference."""
 
     def __init__(self, apply_fn, params, frame_hw, input_hw,
-                 display_hw=None, use_pallas=None, emit_s2d=0):
+                 display_hw=None, use_pallas=None, emit_s2d=0, smooth=0.0):
         self.apply_fn = apply_fn
         self.params = jax.device_put(params)
         self.frame_hw = tuple(frame_hw)
@@ -94,14 +107,48 @@ class LiveEngine:
             use_pallas = False  # XLA path fuses better in-program (BASELINE.md)
         self.use_pallas = bool(use_pallas)
         self.emit_s2d = 0 if self.use_pallas else int(emit_s2d)
+        if not 0.0 <= smooth < 1.0:
+            raise ValueError(f"smooth must be in [0, 1), got {smooth}")
+        self.smooth = float(smooth)
+        dummy = jnp.zeros((1, *self.frame_hw, 3), jnp.uint8)
+        if self.smooth > 0:
+            # Temporal-EMA carry: its shape is the model's depth output,
+            # learned via eval_shape (trace only — no compile, no device).
+            shapes = jax.eval_shape(
+                lambda p, f: live_step(
+                    self.apply_fn, p, f, input_hw=self.input_hw,
+                    display_hw=self.display_hw, use_pallas=self.use_pallas,
+                    emit_s2d=self.emit_s2d),
+                self.params, dummy)
+            self._carry = jnp.zeros(shapes[0].shape, jnp.float32)
+            self._has_prev = jnp.zeros((), jnp.float32)
+            self._one = jnp.ones((), jnp.float32)
         # compile once at startup with a dummy frame; sync via device_get —
         # block_until_ready returns before the (server-side) compile
         # finishes on tunneled TPU backends (utils/tracing.py).
-        dummy = jnp.zeros((1, *self.frame_hw, 3), jnp.uint8)
         d, r = self._step(dummy)
         jax.device_get(r[0, 0, 0])
+        if self.smooth > 0:  # the warmup frame must not seed the EMA
+            self.reset_smoothing()
+
+    def reset_smoothing(self):
+        """Forget the temporal-EMA carry (stream restart / scene cut)."""
+        if self.smooth > 0:
+            self._carry = jnp.zeros_like(self._carry)
+            self._has_prev = jnp.zeros((), jnp.float32)
 
     def _step(self, frame_dev):
+        if self.smooth > 0:
+            depth, rendered, logd = live_step(
+                self.apply_fn, self.params, frame_dev,
+                input_hw=self.input_hw, display_hw=self.display_hw,
+                use_pallas=self.use_pallas, emit_s2d=self.emit_s2d,
+                prev_log=self._carry, has_prev=self._has_prev,
+                smooth=self.smooth)
+            # Device-side carry: the next submit depends on this frame's
+            # output without any host sync, so pipelining still overlaps.
+            self._carry, self._has_prev = logd, self._one
+            return depth, rendered
         return live_step(self.apply_fn, self.params, frame_dev,
                          input_hw=self.input_hw, display_hw=self.display_hw,
                          use_pallas=self.use_pallas, emit_s2d=self.emit_s2d)

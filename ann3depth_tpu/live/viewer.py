@@ -54,7 +54,8 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
     from ann3depth_tpu.models import registry
     engine = LiveEngine(state.apply_fn, state.params, frame_hw,
                         cfg.data.input_hw, display_hw=frame_hw,
-                        emit_s2d=registry.s2d_input_factor(cfg.model.name))
+                        emit_s2d=registry.s2d_input_factor(cfg.model.name),
+                        smooth=cfg.live.smooth)
 
     if source is None:
         try:

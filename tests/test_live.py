@@ -169,3 +169,37 @@ def test_live_loop_headless(tmp_path):
         n += 1
     cap.release()
     assert stats["record"] == record and n == 10
+
+
+def test_live_engine_temporal_smoothing():
+    """smooth=0.6: frame 1 passes through, frame 2 equals the log-depth
+    EMA of the two unsmoothed predictions; reset forgets the carry."""
+    from ann3depth_tpu.config import ModelConfig
+    from ann3depth_tpu.live.infer import LiveEngine
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.train import step as steplib
+
+    model = registry.build(ModelConfig(name="small", compute_dtype="float32"))
+    params = steplib.init_params(model, (24, 32), seed=0)
+    rng = np.random.default_rng(7)
+    f1, f2 = (rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+              for _ in range(2))
+
+    plain = LiveEngine(model.apply, params, (48, 64), (24, 32))
+    d1 = np.asarray(plain.infer(f1, fetch_depth=True)[0])
+    d2 = np.asarray(plain.infer(f2, fetch_depth=True)[0])
+
+    eng = LiveEngine(model.apply, params, (48, 64), (24, 32), smooth=0.6)
+    s1 = np.asarray(eng.infer(f1, fetch_depth=True)[0])
+    s2 = np.asarray(eng.infer(f2, fetch_depth=True)[0])
+    np.testing.assert_allclose(s1, d1, rtol=1e-5)
+    want = np.exp(0.6 * np.log(d1) + 0.4 * np.log(d2))
+    np.testing.assert_allclose(s2, want, rtol=1e-4)
+    assert not np.allclose(s2, d2)  # genuinely smoothed
+
+    eng.reset_smoothing()
+    s1b = np.asarray(eng.infer(f1, fetch_depth=True)[0])
+    np.testing.assert_allclose(s1b, d1, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="smooth"):
+        LiveEngine(model.apply, params, (48, 64), (24, 32), smooth=1.0)
