@@ -230,6 +230,10 @@ def build_parser():
                     help="test-time augmentation: average the prediction "
                          "with the mirrored-input prediction (second "
                          "forward pass; quality priced in BASELINE.md)")
+    pe.add_argument("--avg-last", type=int, metavar="K",
+                    help="score the uniform average of the last K retained "
+                         "checkpoints (post-hoc SWA; exclusive with "
+                         "--ckpt-step)")
 
     pl = sub.add_parser("live", help="continuous depth view from camera/video")
     _common_flags(pl)
@@ -331,6 +335,10 @@ def build_parser():
     px.add_argument("--ema", action="store_true",
                     help="bake the EMA (Polyak-averaged) weights into the "
                          "artifact (checkpoint trained with --ema-decay)")
+    px.add_argument("--avg-last", type=int, metavar="K",
+                    help="bake the uniform average of the last K retained "
+                         "checkpoints into the artifact (post-hoc SWA; "
+                         "exclusive with --ckpt-step)")
 
     ps = sub.add_parser(
         "serve", help="batched depth-serving HTTP server: concurrent "
@@ -455,8 +463,16 @@ def main(argv=None):
             from ann3depth_tpu.train.checkpoint import CheckpointManager
             state = loop.create_state(cfg)
             ckpt = CheckpointManager(cfg.train.ckpt_dir)
-            state, restored = ckpt.restore_params(state, use_ema=args.ema,
-                                                  step=args.ckpt_step)
+            if args.avg_last:
+                if args.ckpt_step is not None:
+                    raise SystemExit("--avg-last and --ckpt-step are "
+                                     "exclusive")
+                state, restored = ckpt.restore_avg_params(
+                    state, args.avg_last, use_ema=args.ema)
+            else:
+                state, restored = ckpt.restore_params(state,
+                                                      use_ema=args.ema,
+                                                      step=args.ckpt_step)
             ckpt.close()
             if restored is None:
                 raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
@@ -471,7 +487,8 @@ def main(argv=None):
         else:
             metrics = loop.evaluate(cfg, report_dir=args.report_dir,
                                     use_ema=args.ema,
-                                    ckpt_step=args.ckpt_step, **common)
+                                    ckpt_step=args.ckpt_step,
+                                    avg_last=args.avg_last, **common)
         print(json.dumps(metrics))
         return 0
 
@@ -608,8 +625,16 @@ def main(argv=None):
         state = loop.create_state(cfg)
         if not args.init:
             ckpt = CheckpointManager(cfg.train.ckpt_dir)
-            state, restored = ckpt.restore_params(state, use_ema=args.ema,
-                                                  step=args.ckpt_step)
+            if args.avg_last:
+                if args.ckpt_step is not None:
+                    raise SystemExit("--avg-last and --ckpt-step are "
+                                     "exclusive")
+                state, restored = ckpt.restore_avg_params(
+                    state, args.avg_last, use_ema=args.ema)
+            else:
+                state, restored = ckpt.restore_params(state,
+                                                      use_ema=args.ema,
+                                                      step=args.ckpt_step)
             ckpt.close()
             if restored is None:
                 raise RuntimeError(

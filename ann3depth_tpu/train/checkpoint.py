@@ -148,6 +148,36 @@ class CheckpointManager:
                               params=params)
         return state, step
 
+    def restore_avg_params(self, state, k: int, use_ema: bool = False):
+        """Uniform average of the params of the last k retained
+        checkpoints (post-hoc SWA-style weight averaging; Izmailov et al.
+        2018). Complements EMA: no training-time cost or flag, applied to
+        whatever the rotation kept. Returns (state, [averaged steps]);
+        state.step is pinned to the newest averaged step. Raises when
+        fewer than k checkpoints exist — silently averaging fewer would
+        mislabel the result.
+        """
+        import numpy as np
+
+        if k < 1:
+            raise ValueError(f"avg_last must be >= 1, got {k}")
+        steps = self.all_steps()
+        if len(steps) < k:
+            raise ValueError(
+                f"avg_last={k} but only {len(steps)} checkpoints are "
+                f"retained in {self.dir} (steps {steps}); raise "
+                "max_to_keep / checkpoint more often or lower k")
+        steps = steps[-k:]
+        acc = None
+        for s in steps:
+            st, _ = self.restore_params(state, use_ema=use_ema, step=s)
+            acc = (st.params if acc is None else jax.tree.map(
+                lambda a, b: a + b, acc, st.params))
+        inv = 1.0 / float(len(steps))
+        params = jax.tree.map(lambda a: (a * inv).astype(a.dtype), acc)
+        return state.replace(step=np.asarray(steps[-1]),
+                             params=params), steps
+
     def wait(self):
         self._mgr.wait_until_finished()
 

@@ -556,7 +556,7 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
 
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
              mesh=None, use_ema=False, report_dir=None, report_worst=8,
-             ckpt_step=None, tta=""):
+             ckpt_step=None, tta="", avg_last=None):
     """Eval loop: accumulate global sufficient statistics over the test
     split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
     error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
@@ -604,8 +604,15 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
         # params-only restore: works for checkpoints from any trainer
         # (replicated Adam or --zero1's sharded opt layout); use_ema scores
         # the Polyak-averaged weights instead
-        state, restored = ckpt.restore_params(state, use_ema=use_ema,
-                                              step=ckpt_step)
+        if avg_last:
+            if ckpt_step is not None:
+                raise ValueError("avg_last and ckpt_step are exclusive "
+                                 "(the average spans the last k saves)")
+            state, restored = ckpt.restore_avg_params(state, avg_last,
+                                                      use_ema=use_ema)
+        else:
+            state, restored = ckpt.restore_params(state, use_ema=use_ema,
+                                                  step=ckpt_step)
         ckpt.close()
         if restored is None:
             raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
