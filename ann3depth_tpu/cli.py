@@ -147,6 +147,14 @@ def _resolve(args) -> cfglib.Config:
     if getattr(args, "num_workers", None):
         data["use_grain"] = True
         data["num_workers"] = args.num_workers
+    if getattr(args, "distill_from", None):
+        train["distill_from"] = args.distill_from
+    if getattr(args, "distill_model", None):
+        train["distill_model"] = args.distill_model
+    if getattr(args, "distill_width_mult", None) is not None:
+        train["distill_width_mult"] = args.distill_width_mult
+    if getattr(args, "distill_alpha", None) is not None:
+        train["distill_alpha"] = args.distill_alpha
     if getattr(args, "resume", False): train["resume"] = True
     if getattr(args, "profile", None): train["profile_dir"] = args.profile
     if getattr(args, "profile_steps", None):
@@ -196,6 +204,22 @@ def build_parser():
                          "improvement; survives crashes/resumes via "
                          "best_metric.json; requires --eval-every). "
                          "Serve/eval it with --ckpt-dir <ckpt-dir>/best")
+    pt.add_argument("--distill-from", metavar="CKPT_DIR",
+                    help="knowledge distillation: restore a frozen teacher "
+                         "from this checkpoint dir and add --distill-alpha "
+                         "x mean((student_log - teacher_log)^2) to the "
+                         "loss (teacher forward fused into the same jitted "
+                         "step). Train a big model once (e.g. encdec-w2), "
+                         "distill into the cheap serving model")
+    pt.add_argument("--distill-model",
+                    help="teacher architecture (registry key; default: the "
+                         "student's --model)")
+    pt.add_argument("--distill-width-mult", type=float,
+                    help="teacher width multiplier — must match the "
+                         "checkpoint in --distill-from (default 1.0)")
+    pt.add_argument("--distill-alpha", type=float,
+                    help="weight of the teacher-matching term in (0, 1] "
+                         "(default 0.5; 1.0 = train on the teacher alone)")
     pt.add_argument("--workdir", help="metrics/log directory (default: ckpt dir)")
     pt.add_argument("--profile", metavar="DIR",
                     help="emit a jax.profiler (TensorBoard/Perfetto) trace of "

@@ -135,6 +135,19 @@ class TrainConfig:
     # loss-independent; the logged `loss` follows this choice.
     loss: str = "si"
     si_lambda: float = ref.SI_LOSS_LAMBDA
+    # Knowledge distillation (train/step.distill_train_step): non-empty ->
+    # restore a frozen teacher from this checkpoint dir and add
+    # distill_alpha * mean((student_log - teacher_log)^2) to the loss,
+    # teacher forward fused into the same jitted step. Completes the
+    # compression ladder (train encdec-w2 once, distill into the cheap
+    # serving model). Exclusive with zero1 / tensor_parallel / grad_accum
+    # (loud errors in loop.train; compose on demand).
+    distill_from: str = ""
+    # Teacher architecture: registry name ("" = same as the student) and
+    # its width multiplier — must match what trained distill_from.
+    distill_model: str = ""
+    distill_width_mult: float = 1.0
+    distill_alpha: float = 0.5
     # Profiling (SURVEY §5 "Tracing / profiling"): when profile_dir is set,
     # the train loop wraps a window of hot-loop steps (after compile +
     # warmup) in a jax.profiler trace -> TensorBoard/Perfetto under

@@ -150,6 +150,21 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             "save_best needs in-loop eval to rank checkpoints: set "
             "eval_every > 0")
+    if cfg.train.distill_from:
+        if cfg.train.zero1 or cfg.train.tensor_parallel > 1 or accum > 1:
+            raise ValueError(
+                "distill_from composes with plain data-parallel training "
+                "only; zero1 / tensor_parallel / grad_accum are not wired "
+                "into the distillation step (loud by design — compose on "
+                "demand)")
+        if not 0.0 < cfg.train.distill_alpha <= 1.0:
+            raise ValueError(
+                f"distill_alpha must be in (0, 1], got "
+                f"{cfg.train.distill_alpha} (0 would silently ignore the "
+                "teacher — drop --distill-from instead)")
+        if _use_pallas(cfg):
+            log.warning("preprocess_impl='pallas' is ignored under "
+                        "distillation (its step uses the XLA preprocess)")
     tp = cfg.train.tensor_parallel
     if tp < 1:
         raise ValueError(f"tensor_parallel must be >= 1, got {tp} "
@@ -266,6 +281,47 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                                      step=s), metrics
     else:
         state = create_state(cfg, mesh)
+
+    dstep = None
+    if cfg.train.distill_from:
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        tcfg = _dc.replace(cfg.model,
+                           name=cfg.train.distill_model or cfg.model.name,
+                           width_mult=cfg.train.distill_width_mult,
+                           quant="none")
+        teacher = registry.build(tcfg)
+        facade = steplib.TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=steplib.init_params(teacher, cfg.data.input_hw, seed=0),
+            opt_state=None, tx=None, apply_fn=teacher.apply)
+        tckpt = CheckpointManager(cfg.train.distill_from)
+        facade, trestored = tckpt.restore_params(facade)
+        tckpt.close()
+        if trestored is None:
+            raise RuntimeError(
+                f"no teacher checkpoint in {cfg.train.distill_from!r} "
+                f"(distill_model={tcfg.name!r}, width_mult="
+                f"{tcfg.width_mult})")
+        log.info("distilling from %s step %d (%s, width %g, alpha %g)",
+                 cfg.train.distill_from, trestored, tcfg.name,
+                 tcfg.width_mult, cfg.train.distill_alpha)
+        teacher_params = meshlib.replicate(facade.params, mesh)
+        distill_kw = dict(teacher_apply=teacher.apply,
+                          input_hw=cfg.data.input_hw,
+                          target_hw=resolved_target_hw(cfg),
+                          si_lambda=cfg.train.si_lambda,
+                          augment=cfg.data.augment,
+                          distill_alpha=cfg.train.distill_alpha,
+                          ema_decay=cfg.train.ema_decay,
+                          loss_kind=cfg.train.loss)
+
+        def dstep(state, img_u8, depth, rng):
+            return steplib.distill_train_step(state, teacher_params, img_u8,
+                                              depth, rng, **distill_kw)
+
     ckpt = CheckpointManager(cfg.train.ckpt_dir)
     start_step = 0
     if cfg.train.resume or cfg.train.resume_step is not None:
@@ -408,6 +464,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             step_no = start_step + i
             if zstep is not None:
                 state, metrics = zstep(state, img_u8, depth, rng)
+            elif dstep is not None:
+                state, metrics = dstep(state, img_u8, depth, rng)
             else:
                 state, metrics = steplib.train_step(
                     state, img_u8, depth, rng, **step_kwargs)

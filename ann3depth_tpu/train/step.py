@@ -310,6 +310,84 @@ def _train_step_accum(state, img_u8, depth_raw, rng, *, input_hw, target_hw,
                                                 ema_decay)), metrics
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("teacher_apply", "input_hw", "target_hw", "si_lambda",
+                     "augment", "resize_precision", "distill_alpha",
+                     "ema_decay", "loss_kind"),
+    donate_argnames=("state",),
+)
+def distill_train_step(state: TrainState, teacher_params, img_u8, depth_raw,
+                       rng, *, teacher_apply, input_hw, target_hw,
+                       si_lambda=0.5, augment=False,
+                       resize_precision="default", distill_alpha=0.5,
+                       ema_decay=0.0, loss_kind="si"):
+    """One fused device step with knowledge distillation (Hinton et al.
+    2015, adapted to dense regression): the frozen teacher's log-depth map
+    is a second regression target for the student.
+
+        loss = (1 - alpha) * depth_loss(student, gt)
+             + alpha * mean((student_log - teacher_log)^2)
+
+    The teacher forward runs inside the SAME jitted program (its params are
+    a non-donated input, so XLA keeps one copy in HBM and the whole
+    student-step + teacher-forward compiles into one TPU program — no extra
+    dispatch per step). The distillation term is an L2 in log-depth: scale
+    differences the SI loss forgives are exactly what the student should
+    copy from a well-trained teacher. When the teacher's output grid
+    differs from the student's (e.g. encdec teacher at /2 stride
+    distilling into the 3-conv `small` net at /8), the teacher map is
+    bilinearly resized to the student's grid — teacher targets are dense
+    and maskless, so plain resize is exact enough.
+
+    Both models consume one shared preprocessed RGB batch (emit_s2d stays
+    off: the s2d fast layout is per-stem, and the two stems may differ).
+    Completes the compression ladder next to --quant int8/int8-qat: train
+    a big teacher once (e.g. encdec-w2), distill it into the cheap serving
+    model. The reference has no equivalent (single fixed model per run).
+    """
+    prec = (jax.lax.Precision.HIGHEST if resize_precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    key = jax.random.fold_in(rng, state.step) if augment else None
+    images, depths = preprocess.preprocess_batch(
+        img_u8, depth_raw, input_hw, target_hw, key=key, precision=prec)
+
+    teacher_log = jax.lax.stop_gradient(
+        teacher_apply({"params": teacher_params}, images)).astype(jnp.float32)
+    if teacher_log.shape[1:3] != tuple(target_hw):
+        teacher_log = jax.image.resize(
+            teacher_log, (teacher_log.shape[0], *target_hw,
+                          teacher_log.shape[-1]), method="bilinear")
+
+    def dloss(params):
+        pred_log = state.apply_fn({"params": params}, images)
+        gt_loss = losses.depth_loss(pred_log, depths, kind=loss_kind,
+                                    lam=si_lambda)
+        match = jnp.mean(jnp.square(pred_log.astype(jnp.float32)
+                                    - teacher_log))
+        loss = (1.0 - distill_alpha) * gt_loss + distill_alpha * match
+        return loss, (pred_log, gt_loss, match)
+
+    (loss, (pred_log, gt_loss, match)), grads = jax.value_and_grad(
+        dloss, has_aux=True)(state.params)
+
+    updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    metrics = {
+        "loss": loss,
+        "gt_loss": gt_loss,
+        "distill": match,
+        "grad_norm": optax.global_norm(grads),
+        "rmse": losses.depth_metrics(pred_log, depths)["rmse"],
+    }
+    return state.replace(step=state.step + 1, params=new_params,
+                         opt_state=new_opt_state,
+                         ema_params=_ema_update(state, new_params,
+                                                ema_decay)), metrics
+
+
 def apply_with_tta(apply_fn, params, images, tta=""):
     """Forward pass with optional test-time augmentation.
 
