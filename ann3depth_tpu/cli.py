@@ -51,8 +51,10 @@ def _common_flags(p):
                         "(e.g. 0.999); eval --ema scores it")
     p.add_argument("--steps", type=int)
     p.add_argument("--learning-rate", type=float)
-    p.add_argument("--loss", choices=["si", "l2", "berhu"],
+    p.add_argument("--loss", choices=["si", "si+grad", "l2", "berhu"],
                    help="training loss: scale-invariant log (default), "
+                        "si plus the Eigen & Fergus 2015 log-gradient "
+                        "matching term (depth-structure supervision), "
                         "linear-depth MSE, or reverse Huber")
     p.add_argument("--schedule", choices=["cosine", "constant"],
                    help="lr schedule: warmup+cosine decay (default) or a "

@@ -129,10 +129,12 @@ class TrainConfig:
     tensorboard: bool = False  # also write tf.summary event files
     seed: int = 0
     # Training loss (train/losses.py): "si" (Eigen eq. 4 scale-invariant
-    # log loss, the reference's [B:5] default), "l2" (linear-depth MSE —
-    # the 'standard L2 variant' of SURVEY §2.1's loss row), "berhu"
-    # (reverse Huber, Laina et al. 2016). Eval error metrics are
-    # loss-independent; the logged `loss` follows this choice.
+    # log loss, the reference's [B:5] default), "si+grad" (si plus the
+    # Eigen & Fergus 2015 first-order log-gradient matching term at the
+    # paper's unit weight — depth-structure supervision), "l2"
+    # (linear-depth MSE — the 'standard L2 variant' of SURVEY §2.1's loss
+    # row), "berhu" (reverse Huber, Laina et al. 2016). Eval error
+    # metrics are loss-independent; the logged `loss` follows this choice.
     loss: str = "si"
     si_lambda: float = ref.SI_LOSS_LAMBDA
     # Knowledge distillation (train/step.distill_train_step): non-empty ->

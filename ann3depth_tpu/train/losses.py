@@ -101,17 +101,54 @@ def per_image_berhu_loss(pred_log, target, mask=None):
     return jnp.sum(per_px, axis=axes) / n
 
 
+def per_image_grad_loss(pred_log, target, mask=None):
+    """[B] first-order gradient-matching term on the log-depth error
+    (Eigen & Fergus 2015, "Predicting Depth, Surface Normals and Semantic
+    Labels with a Common Multi-Scale Convolutional Architecture", eq. 1's
+    gradient term): mean over valid neighbor pairs of
+    (nabla_x d)^2 + (nabla_y d)^2 for d = log pred - log gt.
+
+    Pushes the prediction's depth *structure* (edges, planar surfaces) to
+    match the ground truth — errors the pointwise SI term is indifferent
+    to as long as per-pixel magnitudes balance. Forward differences; a
+    pair contributes only when BOTH pixels are valid, so masked pixels
+    (Make3D far-plane cap) never fabricate an edge."""
+    pred_log = jnp.asarray(pred_log, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    if pred_log.shape != target.shape:
+        pred_log = pred_log.reshape(target.shape)
+    valid = _flatten_mask(target, mask)
+    d = jnp.where(valid,
+                  pred_log - jnp.log(jnp.maximum(target, ref.DEPTH_EPS)),
+                  0.0)
+    vx = valid[..., :, 1:] & valid[..., :, :-1]
+    dx = jnp.where(vx, d[..., :, 1:] - d[..., :, :-1], 0.0)
+    vy = valid[..., 1:, :] & valid[..., :-1, :]
+    dy = jnp.where(vy, d[..., 1:, :] - d[..., :-1, :], 0.0)
+    axes = tuple(range(1, d.ndim))
+    n = jnp.maximum(
+        (jnp.sum(vx, axis=axes) + jnp.sum(vy, axis=axes)).astype(jnp.float32),
+        1.0)
+    return (jnp.sum(dx * dx, axis=axes) + jnp.sum(dy * dy, axis=axes)) / n
+
+
 def per_image_depth_loss(pred_log, target, mask=None, *, kind="si",
                          lam=ref.SI_LOSS_LAMBDA):
     """[B] per-image training loss, dispatched by kind:
-    'si' (Eigen eq. 4 on log-depth), 'l2' (linear MSE), 'berhu'."""
+    'si' (Eigen eq. 4 on log-depth), 'si+grad' (si plus the Eigen &
+    Fergus 2015 gradient-matching term, unit weight as in the paper),
+    'l2' (linear MSE), 'berhu'."""
     if kind == "si":
         return per_image_si_loss(pred_log, target, mask, lam)
+    if kind == "si+grad":
+        return (per_image_si_loss(pred_log, target, mask, lam)
+                + per_image_grad_loss(pred_log, target, mask))
     if kind == "l2":
         return per_image_l2_loss(pred_log, target, mask)
     if kind == "berhu":
         return per_image_berhu_loss(pred_log, target, mask)
-    raise ValueError(f"unknown loss kind {kind!r}; have si | l2 | berhu")
+    raise ValueError(
+        f"unknown loss kind {kind!r}; have si | si+grad | l2 | berhu")
 
 
 def depth_loss(pred_log, target, mask=None, *, kind="si",

@@ -260,3 +260,87 @@ def test_cli_loss_flag_resolves():
     assert _resolve(args).train.loss == "berhu"
     assert (_resolve(build_parser().parse_args(
         ["train", "--config", "smoke"])).train.loss == "si")
+
+
+def test_grad_loss_numpy_oracle():
+    """per_image_grad_loss vs a plain-numpy forward-difference oracle."""
+    rng = np.random.default_rng(5)
+    target = rng.uniform(1.0, 50.0, (2, 5, 6)).astype(np.float32)
+    pred_log = (np.log(target)
+                + rng.normal(0, 0.3, target.shape)).astype(np.float32)
+    got = np.asarray(losses.per_image_grad_loss(pred_log, target))
+    d = pred_log - np.log(target)
+    for b in range(2):
+        dx = d[b][:, 1:] - d[b][:, :-1]
+        dy = d[b][1:, :] - d[b][:-1, :]
+        want = ((dx ** 2).sum() + (dy ** 2).sum()) / (dx.size + dy.size)
+        assert got[b] == pytest.approx(want, rel=1e-5)
+
+
+def test_grad_loss_zero_for_constant_log_offset():
+    """A global scale error shifts every log pixel equally — zero
+    depth-structure penalty (the property that makes the term a clean
+    complement to the SI loss)."""
+    rng = np.random.default_rng(6)
+    target = rng.uniform(1.0, 50.0, (2, 4, 4)).astype(np.float32)
+    pred_log = (np.log(target) + 0.7).astype(np.float32)
+    got = np.asarray(losses.per_image_grad_loss(pred_log, target))
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)
+    # ...while plain si with lam<1 does penalize the offset
+    assert float(losses.depth_loss(pred_log, target, kind="si")) > 0.01
+
+
+def test_grad_loss_masked_pixels_create_no_edges():
+    """An invalid pixel (above the Make3D cap) drops every neighbor pair
+    it touches — a wild prediction there must not fabricate gradients."""
+    rng = np.random.default_rng(7)
+    target = rng.uniform(1.0, 50.0, (1, 4, 5)).astype(np.float32)
+    target[0, 2, 3] = 200.0  # far-plane: invalid
+    pred_log = np.log(np.minimum(target, 50.0)).astype(np.float32)
+    pred_log[0, 2, 3] = 99.0  # garbage at the invalid pixel
+    got = np.asarray(losses.per_image_grad_loss(pred_log, target))
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+def test_si_grad_kind_dispatch_and_training():
+    """'si+grad' = si + grad term exactly; threads through the jitted
+    train step and decreases."""
+    import jax
+
+    from ann3depth_tpu.config import ModelConfig
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.train import step as steplib
+
+    rng = np.random.default_rng(8)
+    target = rng.uniform(1.0, 50.0, (2, 4, 4)).astype(np.float32)
+    pred_log = (np.log(target)
+                + rng.normal(0, 0.2, target.shape)).astype(np.float32)
+    want = (float(losses.depth_loss(pred_log, target, kind="si"))
+            + float(np.mean(np.asarray(
+                losses.per_image_grad_loss(pred_log, target)))))
+    got = float(losses.depth_loss(pred_log, target, kind="si+grad"))
+    assert got == pytest.approx(want, rel=1e-6)
+
+    hw = (48, 64)
+    thw = registry.output_hw("small", hw)
+    img = rng.integers(0, 256, (4, 56, 72, 3), dtype=np.uint8)
+    dep = rng.uniform(1.0, 20.0, (4, 28, 36)).astype(np.float32)
+    model = registry.build(ModelConfig(name="small",
+                                       compute_dtype="float32"))
+    params = steplib.init_params(model, hw, seed=0)
+    state = steplib.TrainState.create(model.apply, params,
+                                      steplib.make_optimizer(3e-4))
+    key = jax.random.key(0)
+    first = last = None
+    for _ in range(10):
+        state, m = steplib.train_step(
+            state, img, dep, key, input_hw=hw, target_hw=thw,
+            si_lambda=0.5, loss_kind="si+grad")
+        last = float(m["loss"])
+        first = first if first is not None else last
+    assert np.isfinite(last) and last < first, (first, last)
+
+    from ann3depth_tpu.cli import _resolve, build_parser
+    args = build_parser().parse_args(
+        ["train", "--config", "smoke", "--loss", "si+grad"])
+    assert _resolve(args).train.loss == "si+grad"
