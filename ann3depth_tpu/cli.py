@@ -260,6 +260,13 @@ def build_parser():
                     help="score the uniform average of the last K retained "
                          "checkpoints (post-hoc SWA; exclusive with "
                          "--ckpt-step)")
+    pe.add_argument("--align", choices=["median"], default="",
+                    help="per-image scale alignment before metrics: "
+                         "'median' rescales each prediction by "
+                         "median(gt)/median(pred) over valid pixels (the "
+                         "standard scale-ambiguous monocular-depth "
+                         "protocol, Zhou et al. 2017) — reports depth "
+                         "structure with global scale factored out")
 
     pl = sub.add_parser("live", help="continuous depth view from camera/video")
     _common_flags(pl)
@@ -477,7 +484,8 @@ def main(argv=None):
         from ann3depth_tpu.train import loop
         cfg = _resolve(args)
         common = dict(max_batches=args.max_batches,
-                      report_worst=args.report_worst, tta=args.tta)
+                      report_worst=args.report_worst, tta=args.tta,
+                      align=args.align)
         names = list(dict.fromkeys(cfg.data.datasets))  # dedupe, keep order
         if len(names) > 1:
             # Per-dataset metrics for multi-dataset configs (a model

@@ -614,7 +614,7 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
 
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
              mesh=None, use_ema=False, report_dir=None, report_worst=8,
-             ckpt_step=None, tta="", avg_last=None):
+             ckpt_step=None, tta="", avg_last=None, align=""):
     """Eval loop: accumulate global sufficient statistics over the test
     split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
     error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
@@ -623,6 +623,10 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     Data-parallel like training: batches are sharded over the mesh's
     "data" axis (auto mesh capped to a divisor of the batch size, same
     policy as train); the stats reduction psums over ICI.
+
+    align="median": per-image median scale alignment of the prediction
+    before metrics (step.apply_alignment — the scale-ambiguous eval
+    protocol); applies to both the stats and the report path.
 
     report_dir: also write per-image error attribution — per_image.jsonl
     (one metrics row per test image, split order), worst.png (a
@@ -687,7 +691,7 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
                    target_hw=resolved_target_hw(cfg),
                    si_lambda=cfg.train.si_lambda,
                    use_pallas=_use_pallas(cfg), loss_kind=cfg.train.loss,
-                   tta=tta)
+                   tta=tta, align=align)
     totals = {}
     rows, worst = [], []  # report mode: per-image rows + worst-K heap
     for b, (img_u8, depth) in enumerate(

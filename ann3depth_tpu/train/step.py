@@ -408,12 +408,42 @@ def apply_with_tta(apply_fn, params, images, tta=""):
     return pred_log
 
 
+def apply_alignment(pred_log, depths, align=""):
+    """Optional per-image scale alignment of the prediction against GT
+    before metrics — the standard protocol for scale-ambiguous monocular
+    depth (Zhou et al. 2017 / Monodepth2): scale each predicted map by
+    median(gt) / median(pred) over valid pixels, i.e. a per-image shift
+    of log median(gt) - log median(pred) in log-depth. Eval-only (needs
+    GT); measures depth *structure* with the global scale factored out.
+
+    align="" (default) is a no-op; "median" applies the protocol. An
+    all-invalid image gets shift 0 (its stats are zero-weighted anyway).
+    """
+    if not align:
+        return pred_log
+    if align != "median":
+        raise ValueError(f"unknown align mode {align!r} (have: 'median')")
+    from ann3depth_tpu.compat import reference_spec as ref
+
+    t = jnp.asarray(depths, jnp.float32)
+    p = pred_log.reshape(t.shape).astype(jnp.float32)
+    valid = losses._flatten_mask(t, None)
+    axes = tuple(range(1, t.ndim))
+    med_gt = jnp.nanmedian(jnp.where(valid, t, jnp.nan), axis=axes)
+    med_pr = jnp.nanmedian(jnp.where(valid, jnp.exp(p), jnp.nan), axis=axes)
+    shift = (jnp.log(jnp.maximum(med_gt, ref.DEPTH_EPS))
+             - jnp.log(jnp.maximum(med_pr, ref.DEPTH_EPS)))
+    shift = jnp.nan_to_num(shift)  # all-invalid image -> no shift
+    return pred_log + shift.reshape(
+        (-1,) + (1,) * (pred_log.ndim - 1)).astype(pred_log.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
                                              "si_lambda", "use_pallas",
-                                             "loss_kind", "tta"))
+                                             "loss_kind", "tta", "align"))
 def eval_stats_step(state: TrainState, img_u8, depth_raw, *, input_hw,
                     target_hw, si_lambda=0.5, use_pallas=False,
-                    loss_kind="si", tta=""):
+                    loss_kind="si", tta="", align=""):
     """Eval: preprocess -> forward -> SUFFICIENT STATISTICS (no augment).
 
     Returns summable f32 scalars (losses.depth_metric_stats); the eval loop
@@ -425,16 +455,17 @@ def eval_stats_step(state: TrainState, img_u8, depth_raw, *, input_hw,
         img_u8, depth_raw, input_hw, target_hw, key=None,
         use_pallas=use_pallas)
     pred_log = apply_with_tta(state.apply_fn, state.params, images, tta)
+    pred_log = apply_alignment(pred_log, depths, align)
     return losses.depth_metric_stats(pred_log, depths, si_lambda=si_lambda,
                                      loss_kind=loss_kind)
 
 
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
                                              "si_lambda", "use_pallas",
-                                             "loss_kind", "tta"))
+                                             "loss_kind", "tta", "align"))
 def eval_report_step(state: TrainState, img_u8, depth_raw, *, input_hw,
                      target_hw, si_lambda=0.5, use_pallas=False,
-                     loss_kind="si", tta=""):
+                     loss_kind="si", tta="", align=""):
     """Eval with per-image attribution (loop.evaluate's report path).
 
     One device program returns (per_image_stats [B]-leaved dict incl. the
@@ -446,6 +477,7 @@ def eval_report_step(state: TrainState, img_u8, depth_raw, *, input_hw,
         img_u8, depth_raw, input_hw, target_hw, key=None,
         use_pallas=use_pallas)
     pred_log = apply_with_tta(state.apply_fn, state.params, images, tta)
+    pred_log = apply_alignment(pred_log, depths, align)
     per = losses.per_image_metric_stats(pred_log, depths)
     per["si_loss"] = losses.per_image_depth_loss(
         pred_log, depths, kind=loss_kind, lam=si_lambda)
