@@ -166,6 +166,8 @@ def _resolve(args) -> cfglib.Config:
     live = {}
     if getattr(args, "smooth", None) is not None:
         live["smooth"] = args.smooth
+    if getattr(args, "colormap", None):
+        live["colormap"] = args.colormap
     if live:
         cfg = dataclasses.replace(
             cfg, live=dataclasses.replace(cfg.live, **live))
@@ -284,6 +286,10 @@ def build_parser():
                          "frame's log-depth with the previous one inside "
                          "the device program (flicker suppression; 0.8 is "
                          "a good start)")
+    pl.add_argument("--colormap",
+                    choices=["turbo", "viridis", "magma", "gray"],
+                    help="depth rendering colormap (default turbo; a "
+                         "256-entry LUT gather inside the device program)")
 
     pi = sub.add_parser("infer", help="predict depth maps for image file(s) "
                         "or transcode a whole video offline")
@@ -315,6 +321,10 @@ def build_parser():
     pi.add_argument("--fov-deg", type=float, default=55.0,
                     help="horizontal field of view for --ply "
                          "back-projection (default 55)")
+    pi.add_argument("--colormap",
+                    choices=["turbo", "viridis", "magma", "gray"],
+                    help="depth rendering colormap for the PNG / --video "
+                         "output (default turbo)")
     pi.add_argument("--ema", action="store_true",
                     help="use the EMA weights from the checkpoint")
     pi.add_argument("--tta", choices=["flip"], default="",
@@ -634,7 +644,8 @@ def main(argv=None):
                    "depth_max_m": round(float(depth.max()), 3)}
             if not args.no_png:
                 png = os.path.join(args.out_dir, f"{stem}_depth.png")
-                viz.save_png(png, viz.colormap_depth(depth))
+                viz.save_png(png, viz.colormap_depth(
+                    depth, cmap=cfg.live.colormap))
                 rec["depth_png"] = png
             if args.ply:
                 from ann3depth_tpu.utils import pointcloud

@@ -168,6 +168,10 @@ class LiveConfig:
     # (logd_t = smooth*logd_{t-1} + (1-smooth)*logd) — kills frame-to-
     # frame flicker at zero extra dispatches; first frame passes through.
     smooth: float = 0.0
+    # Depth rendering colormap for live/video/PNG surfaces (a 256-entry
+    # device-side LUT gather either way): turbo | viridis | magma | gray
+    # (live/infer._CMAP_ANCHORS; the reference's matplotlib-era choice).
+    colormap: str = "turbo"
 
 
 @dataclasses.dataclass(frozen=True)

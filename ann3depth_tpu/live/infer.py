@@ -22,28 +22,58 @@ import numpy as np
 
 from ann3depth_tpu.pipeline import preprocess
 
-# Turbo colormap, 16 anchor points interpolated to 256 entries on device.
-_TURBO_ANCHORS = np.array([
-    [48, 18, 59], [65, 69, 171], [70, 117, 237], [57, 162, 252],
-    [27, 207, 212], [36, 236, 166], [97, 252, 108], [164, 252, 59],
-    [215, 232, 36], [246, 193, 31], [252, 147, 26], [239, 93, 17],
-    [213, 51, 7], [173, 22, 2], [121, 7, 1], [122, 4, 3]], np.float32)
+# Colormaps as 16 anchor points each, interpolated to 256 LUT entries on
+# device (the per-frame render is one jnp.take gather whatever the map).
+# Anchors sampled from the canonical tables (turbo: Google AI; viridis/
+# magma: matplotlib) at 16 evenly spaced positions.
+_CMAP_ANCHORS = {
+    "turbo": np.array([
+        [48, 18, 59], [65, 69, 171], [70, 117, 237], [57, 162, 252],
+        [27, 207, 212], [36, 236, 166], [97, 252, 108], [164, 252, 59],
+        [215, 232, 36], [246, 193, 31], [252, 147, 26], [239, 93, 17],
+        [213, 51, 7], [173, 22, 2], [121, 7, 1], [122, 4, 3]], np.float32),
+    "viridis": np.array([
+        [68, 1, 84], [72, 26, 108], [71, 47, 125], [65, 68, 135],
+        [57, 86, 140], [49, 104, 142], [42, 120, 142], [35, 136, 142],
+        [31, 152, 139], [34, 168, 132], [53, 183, 121], [84, 197, 104],
+        [122, 209, 81], [165, 219, 54], [210, 226, 27], [253, 231, 37]],
+        np.float32),
+    "magma": np.array([
+        [0, 0, 4], [11, 9, 36], [28, 16, 68], [53, 15, 106],
+        [80, 18, 123], [105, 28, 128], [130, 37, 129], [156, 46, 127],
+        [182, 54, 121], [208, 65, 111], [230, 81, 98], [245, 107, 92],
+        [251, 136, 97], [254, 166, 113], [254, 196, 136], [252, 253, 191]],
+        np.float32),
+    "gray": np.stack([np.linspace(0, 255, 16)] * 3, axis=1).astype(
+        np.float32),
+}
+COLORMAPS = tuple(sorted(_CMAP_ANCHORS))
 
 
-def _turbo_lut():
+def colormap_lut(name: str = "turbo"):
+    """[256, 3] f32 LUT for a named colormap (device-side gather table)."""
+    try:
+        anchors = _CMAP_ANCHORS[name]
+    except KeyError:
+        raise ValueError(f"unknown colormap {name!r}; have {COLORMAPS}")
     xs = np.linspace(0, 15, 256)
     i0 = np.clip(xs.astype(int), 0, 14)
     t = (xs - i0)[:, None]
-    lut = _TURBO_ANCHORS[i0] * (1 - t) + _TURBO_ANCHORS[i0 + 1] * t
+    lut = anchors[i0] * (1 - t) + anchors[i0 + 1] * t
     return jnp.asarray(lut, jnp.float32)  # [256, 3]
+
+
+def _turbo_lut():
+    return colormap_lut("turbo")
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw",
                                              "display_hw", "use_pallas",
-                                             "emit_s2d", "smooth"))
+                                             "emit_s2d", "smooth",
+                                             "colormap"))
 def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
               use_pallas=False, emit_s2d=0, prev_log=None, has_prev=None,
-              smooth=0.0):
+              smooth=0.0, colormap="turbo"):
     """[1, H, W, 3] uint8 -> (depth [1, h, w], rendered [1, Hd, Wd, 3] u8).
 
     emit_s2d: hand the model the pre-space-to-depth layout straight from
@@ -87,7 +117,7 @@ def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
     else:
         disp = jax.image.resize(norm, (b, *display_hw), method="bilinear")
     idx = jnp.clip((disp * 255.0).astype(jnp.int32), 0, 255)
-    rendered = jnp.take(_turbo_lut(), idx, axis=0).astype(jnp.uint8)
+    rendered = jnp.take(colormap_lut(colormap), idx, axis=0).astype(jnp.uint8)
     if smooth > 0:
         return depth, rendered, logd
     return depth, rendered
@@ -97,7 +127,8 @@ class LiveEngine:
     """Premapped, precompiled per-frame inference."""
 
     def __init__(self, apply_fn, params, frame_hw, input_hw,
-                 display_hw=None, use_pallas=None, emit_s2d=0, smooth=0.0):
+                 display_hw=None, use_pallas=None, emit_s2d=0, smooth=0.0,
+                 colormap="turbo"):
         self.apply_fn = apply_fn
         self.params = jax.device_put(params)
         self.frame_hw = tuple(frame_hw)
@@ -110,6 +141,8 @@ class LiveEngine:
         if not 0.0 <= smooth < 1.0:
             raise ValueError(f"smooth must be in [0, 1), got {smooth}")
         self.smooth = float(smooth)
+        colormap_lut(colormap)  # validate the name before compiling
+        self.colormap = colormap
         dummy = jnp.zeros((1, *self.frame_hw, 3), jnp.uint8)
         if self.smooth > 0:
             # Temporal-EMA carry: its shape is the model's depth output,
@@ -144,14 +177,15 @@ class LiveEngine:
                 input_hw=self.input_hw, display_hw=self.display_hw,
                 use_pallas=self.use_pallas, emit_s2d=self.emit_s2d,
                 prev_log=self._carry, has_prev=self._has_prev,
-                smooth=self.smooth)
+                smooth=self.smooth, colormap=self.colormap)
             # Device-side carry: the next submit depends on this frame's
             # output without any host sync, so pipelining still overlaps.
             self._carry, self._has_prev = logd, self._one
             return depth, rendered
         return live_step(self.apply_fn, self.params, frame_dev,
                          input_hw=self.input_hw, display_hw=self.display_hw,
-                         use_pallas=self.use_pallas, emit_s2d=self.emit_s2d)
+                         use_pallas=self.use_pallas, emit_s2d=self.emit_s2d,
+                         colormap=self.colormap)
 
     def infer(self, frame_u8: np.ndarray, fetch_depth: bool = False):
         """One frame -> (depth, rendered np [Hd,Wd,3], latency_s).

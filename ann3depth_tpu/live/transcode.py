@@ -97,7 +97,7 @@ def transcode(cfg, video: str, out_path: str, *, batch: int = 8,
         # _drain is the sync point (tunnel-safe, utils/tracing.py).
         return live_step(state.apply_fn, params, frames_u8,
                          input_hw=cfg.data.input_hw, display_hw=(h, w),
-                         emit_s2d=emit_s2d)
+                         emit_s2d=emit_s2d, colormap=cfg.live.colormap)
 
     out_wh = (w * 2 if side_by_side else w, h)
     writer = _open_writer(cv2, out_path, src_fps, out_wh)

@@ -55,7 +55,7 @@ def run(cfg: Config, camera: int = 0, video: Optional[str] = None,
     engine = LiveEngine(state.apply_fn, state.params, frame_hw,
                         cfg.data.input_hw, display_hw=frame_hw,
                         emit_s2d=registry.s2d_input_factor(cfg.model.name),
-                        smooth=cfg.live.smooth)
+                        smooth=cfg.live.smooth, colormap=cfg.live.colormap)
 
     if source is None:
         try:

@@ -15,12 +15,14 @@ from typing import Optional
 import numpy as np
 
 from ann3depth_tpu.compat import reference_spec as ref
-from ann3depth_tpu.live.infer import _turbo_lut
+from ann3depth_tpu.live.infer import colormap_lut
 
 
 def colormap_depth(depth: np.ndarray, lo: Optional[float] = None,
-                   hi: Optional[float] = None) -> np.ndarray:
-    """f32 [H, W] linear depth -> uint8 [H, W, 3] turbo rendering.
+                   hi: Optional[float] = None,
+                   cmap: str = "turbo") -> np.ndarray:
+    """f32 [H, W] linear depth -> uint8 [H, W, 3] colormapped rendering
+    (cmap: turbo | viridis | magma | gray — live/infer._CMAP_ANCHORS).
 
     Log-scaled normalization (depth perception is multiplicative); shared
     lo/hi let GT and prediction use one scale.
@@ -30,7 +32,7 @@ def colormap_depth(depth: np.ndarray, lo: Optional[float] = None,
     hi = np.log(max(hi, ref.DEPTH_EPS)) if hi is not None else d.max()
     norm = (d - lo) / max(hi - lo, 1e-6)
     idx = np.clip((norm * 255).astype(np.int32), 0, 255)
-    lut = np.asarray(_turbo_lut(), np.float32)
+    lut = np.asarray(colormap_lut(cmap), np.float32)
     return lut[idx].astype(np.uint8)
 
 

@@ -203,3 +203,55 @@ def test_live_engine_temporal_smoothing():
 
     with pytest.raises(ValueError, match="smooth"):
         LiveEngine(model.apply, params, (48, 64), (24, 32), smooth=1.0)
+
+
+def test_colormap_luts_and_gray_property():
+    """Named colormap LUTs: shape/range; 'gray' renders R==G==B through
+    the full device program; unknown names fail loudly (engine ctor
+    validates before compiling)."""
+    import numpy as np
+    import pytest
+
+    from ann3depth_tpu.config import ModelConfig
+    from ann3depth_tpu.live.infer import COLORMAPS, LiveEngine, colormap_lut
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.train import step as steplib
+
+    assert set(COLORMAPS) == {"turbo", "viridis", "magma", "gray"}
+    for name in COLORMAPS:
+        lut = np.asarray(colormap_lut(name))
+        assert lut.shape == (256, 3)
+        assert lut.min() >= 0 and lut.max() <= 255
+    with pytest.raises(ValueError, match="unknown colormap"):
+        colormap_lut("jet")
+
+    model = registry.build(ModelConfig(name="small", compute_dtype="float32"))
+    params = steplib.init_params(model, (24, 32), seed=0)
+    eng = LiveEngine(model.apply, params, (48, 64), (24, 32),
+                     colormap="gray")
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    _, rendered, _ = eng.infer(frame)
+    assert rendered.shape == (48, 64, 3)
+    np.testing.assert_array_equal(rendered[..., 0], rendered[..., 1])
+    np.testing.assert_array_equal(rendered[..., 1], rendered[..., 2])
+    assert rendered.max() > rendered.min()  # actually renders a gradient
+
+    turbo = LiveEngine(model.apply, params, (48, 64), (24, 32))
+    _, r2, _ = turbo.infer(frame)
+    assert not np.array_equal(r2, rendered)  # colormap actually switches
+
+    with pytest.raises(ValueError, match="unknown colormap"):
+        LiveEngine(model.apply, params, (48, 64), (24, 32), colormap="jet")
+
+
+def test_cli_colormap_flag_resolves():
+    from ann3depth_tpu.cli import _resolve, build_parser
+
+    args = build_parser().parse_args(
+        ["infer", "--config", "smoke", "--image", "x.png",
+         "--colormap", "viridis"])
+    assert _resolve(args).live.colormap == "viridis"
+    args = build_parser().parse_args(["live", "--config", "smoke",
+                                      "--colormap", "magma"])
+    assert _resolve(args).live.colormap == "magma"
