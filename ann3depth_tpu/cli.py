@@ -149,6 +149,14 @@ def _resolve(args) -> cfglib.Config:
     if getattr(args, "num_workers", None):
         data["use_grain"] = True
         data["num_workers"] = args.num_workers
+    if (not getattr(args, "distill_from", None)
+            and any(getattr(args, k, None) is not None
+                    for k in ("distill_model", "distill_width_mult",
+                              "distill_alpha"))):
+        raise SystemExit(
+            "--distill-model/--distill-width-mult/--distill-alpha "
+            "configure the teacher and need --distill-from CKPT_DIR — "
+            "without it the run would silently train plain")
     if getattr(args, "distill_from", None):
         train["distill_from"] = args.distill_from
     if getattr(args, "distill_model", None):

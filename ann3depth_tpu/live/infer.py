@@ -63,10 +63,6 @@ def colormap_lut(name: str = "turbo"):
     return jnp.asarray(lut, jnp.float32)  # [256, 3]
 
 
-def _turbo_lut():
-    return colormap_lut("turbo")
-
-
 @functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw",
                                              "display_hw", "use_pallas",
                                              "emit_s2d", "smooth",

@@ -121,6 +121,11 @@ def per_image_grad_loss(pred_log, target, mask=None):
     d = jnp.where(valid,
                   pred_log - jnp.log(jnp.maximum(target, ref.DEPTH_EPS)),
                   0.0)
+    if d.ndim >= 3 and d.shape[-1] == 1:
+        # [..., H, W, 1] (the sibling losses' accepted channel-last shape):
+        # drop the size-1 channel so the diffs below hit H/W, not the
+        # channel axis (which would silently zero the vertical term).
+        d, valid = d[..., 0], valid[..., 0]
     vx = valid[..., :, 1:] & valid[..., :, :-1]
     dx = jnp.where(vx, d[..., :, 1:] - d[..., :, :-1], 0.0)
     vy = valid[..., 1:, :] & valid[..., :-1, :]

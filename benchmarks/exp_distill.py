@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import functools
 import json
-import os
 import sys
 import time
 
@@ -129,7 +128,7 @@ def run(student_names=("small", "encdec"), teacher_steps=4000,
                                     pool, student_steps, batch, alpha,
                                     target_hw)
             ev = _eval_on_pool(student.apply, sstate.params, cfg, pool_test,
-                               batch, target_hw, model_name=name)
+                               batch, target_hw)
             per_alpha[alpha] = ev
             print(f"  student {name} alpha={alpha}: rmse={ev['rmse']}",
                   flush=True)

@@ -71,9 +71,12 @@ def test_align_noop_and_unknown_mode():
 
 
 def test_evaluate_with_align_end_to_end(tmp_path):
-    """loop.evaluate(align='median') runs the jitted stats path and the
-    aligned RMSE is no worse than unaligned for a random-init model
-    (alignment can only remove the global-scale component)."""
+    """loop.evaluate(align='median') runs the jitted stats path and
+    actually changes the shift-sensitive metrics. SILog moves only
+    through the cross-image pooling of per-image shifts (it is invariant
+    per image), so it stays close; RMSE/rmse_log move freely. (Aligned
+    RMSE is NOT asserted lower: median scaling is not the RMSE-minimizing
+    scale.)"""
     from ann3depth_tpu.config import get_config
     from ann3depth_tpu.train import loop as looplib
 
@@ -89,7 +92,8 @@ def test_evaluate_with_align_end_to_end(tmp_path):
     aligned = looplib.evaluate(cfg, state=state, max_batches=2,
                                align="median")
     assert np.isfinite(aligned["rmse"])
-    assert aligned["rmse"] <= plain["rmse"] * 1.0001
+    assert aligned["silog"] == pytest.approx(plain["silog"], rel=0.05)
+    assert aligned["rmse_log"] != pytest.approx(plain["rmse_log"], rel=1e-3)
 
 
 def test_cli_align_flag_resolves():

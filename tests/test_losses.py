@@ -275,6 +275,11 @@ def test_grad_loss_numpy_oracle():
         dy = d[b][1:, :] - d[b][:-1, :]
         want = ((dx ** 2).sum() + (dy ** 2).sum()) / (dx.size + dy.size)
         assert got[b] == pytest.approx(want, rel=1e-5)
+    # channel-last target shape ([B,H,W,1], accepted by the sibling
+    # losses) must hit the SAME spatial axes, not diff the channel dim
+    got4 = np.asarray(losses.per_image_grad_loss(pred_log[..., None],
+                                                 target[..., None]))
+    np.testing.assert_allclose(got4, got, rtol=1e-6)
 
 
 def test_grad_loss_zero_for_constant_log_offset():
