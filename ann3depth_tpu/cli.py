@@ -336,8 +336,9 @@ def build_parser():
     pi.add_argument("--ema", action="store_true",
                     help="use the EMA weights from the checkpoint")
     pi.add_argument("--tta", choices=["flip"], default="",
-                    help="with --image: average with the mirrored-input "
-                         "prediction (second forward pass)")
+                    help="average with the mirrored-input prediction "
+                         "(second forward pass; works for --image and "
+                         "--video)")
 
     pn = sub.add_parser("info", help="inspect a model/config: parameter "
                         "count, shapes, registry, optional XLA FLOPs")
@@ -627,7 +628,7 @@ def main(argv=None):
                 cfg, args.video, out, batch=args.video_batch,
                 side_by_side=args.side_by_side, depth_npy=dnpy,
                 max_frames=args.max_frames, use_ema=args.ema,
-                ckpt_step=args.ckpt_step)
+                ckpt_step=args.ckpt_step, tta=args.tta)
             print(json.dumps(stats))
             return 0
         state = loop.create_state(cfg)

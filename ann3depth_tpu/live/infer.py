@@ -66,10 +66,10 @@ def colormap_lut(name: str = "turbo"):
 @functools.partial(jax.jit, static_argnames=("apply_fn", "input_hw",
                                              "display_hw", "use_pallas",
                                              "emit_s2d", "smooth",
-                                             "colormap"))
+                                             "colormap", "tta"))
 def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
               use_pallas=False, emit_s2d=0, prev_log=None, has_prev=None,
-              smooth=0.0, colormap="turbo"):
+              smooth=0.0, colormap="turbo", tta=""):
     """[1, H, W, 3] uint8 -> (depth [1, h, w], rendered [1, Hd, Wd, 3] u8).
 
     emit_s2d: hand the model the pre-space-to-depth layout straight from
@@ -80,7 +80,14 @@ def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
     flicker in the live view); prev_log carries the previous smoothed
     log-depth, has_prev (f32 scalar, 0 on the first frame) gates the blend
     so frame 0 passes through. The smoothed program additionally returns
-    the new carry: (depth, rendered, logd)."""
+    the new carry: (depth, rendered, logd).
+
+    tta="flip": also run the horizontally mirrored frame and average the
+    two predictions in linear depth (logaddexp in log space — same
+    ensemble as train/step.apply_with_tta). Doubles the forward FLOPs, so
+    it is an OFFLINE lever (infer --video), not a live-viewer one; the
+    mirror happens on the raw uint8 frame because emit_s2d-packed layouts
+    do not flip by axis reversal."""
     # DEFAULT resize precision is the live path's deliberate choice (the
     # model computes in bf16; exact-f32 resize would add MXU passes to a
     # latency-bound program) — the recorded live-latency baselines measure
@@ -91,6 +98,15 @@ def live_step(apply_fn, params, frame_u8, *, input_hw, display_hw,
                                          emit_s2d=emit_s2d,
                                          precision=jax.lax.Precision.DEFAULT)
     pred_log = apply_fn({"params": params}, images)
+    if tta == "flip":
+        images_f = preprocess.preprocess_image(
+            frame_u8[:, :, ::-1, :], input_hw, use_pallas=use_pallas,
+            emit_s2d=emit_s2d, precision=jax.lax.Precision.DEFAULT)
+        pred_f = apply_fn({"params": params}, images_f)
+        pred_log = (jnp.logaddexp(pred_log, pred_f[:, :, ::-1, :])
+                    - jnp.log(2.0).astype(pred_log.dtype))
+    elif tta:
+        raise ValueError(f"unknown tta mode {tta!r} (have: 'flip')")
     logd = pred_log[..., 0]
     if smooth > 0:
         blended = smooth * prev_log + (1.0 - smooth) * logd

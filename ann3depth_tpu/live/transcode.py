@@ -43,7 +43,8 @@ def _open_writer(cv2, path, fps, wh):
 def transcode(cfg, video: str, out_path: str, *, batch: int = 8,
               side_by_side: bool = False, depth_npy: Optional[str] = None,
               max_frames: Optional[int] = None, state=None,
-              use_ema: bool = False, ckpt_step: Optional[int] = None) -> dict:
+              use_ema: bool = False, ckpt_step: Optional[int] = None,
+              tta: str = "") -> dict:
     """Transcode a video file into a depth-rendered video.
 
     Args:
@@ -57,6 +58,9 @@ def transcode(cfg, video: str, out_path: str, *, batch: int = 8,
       max_frames: stop after this many frames (smoke/testing).
       state: pre-restored TrainState (tests); default: restore latest
         checkpoint from cfg.train.ckpt_dir like the live viewer.
+      tta: "flip" averages each prediction with the mirrored-frame
+        prediction (offline quality lever, ~2x forward FLOPs —
+        BASELINE.md tta_encdec row).
 
     Returns a stats dict (frames, fps throughput, output paths).
     """
@@ -97,7 +101,8 @@ def transcode(cfg, video: str, out_path: str, *, batch: int = 8,
         # _drain is the sync point (tunnel-safe, utils/tracing.py).
         return live_step(state.apply_fn, params, frames_u8,
                          input_hw=cfg.data.input_hw, display_hw=(h, w),
-                         emit_s2d=emit_s2d, colormap=cfg.live.colormap)
+                         emit_s2d=emit_s2d, colormap=cfg.live.colormap,
+                         tta=tta)
 
     out_wh = (w * 2 if side_by_side else w, h)
     writer = _open_writer(cv2, out_path, src_fps, out_wh)

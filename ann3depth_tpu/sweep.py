@@ -135,6 +135,16 @@ def run_sweep(cfg: Config, grid: Sequence[Tuple[str, List[Any]]],
             rows.append(prior)
             continue
         trial_dir = os.path.join(out_dir, f"trial_{i:03d}")
+        # A trial we are (re-)running must start from a clean checkpoint
+        # dir: a mid-trial kill (ledger row missing) or a changed grid
+        # value mapping to the same index leaves stale orbax steps behind,
+        # and CheckpointManager.save raises StepAlreadyExistsError on the
+        # first overlapping step. Training state lives only under ckpt/,
+        # so deleting it is safe; metrics.jsonl etc. are append-only.
+        stale_ckpt = os.path.join(trial_dir, "ckpt")
+        if os.path.isdir(stale_ckpt):
+            import shutil
+            shutil.rmtree(stale_ckpt)
         tcfg = apply_overrides(cfg, overrides)
         tcfg = dataclasses.replace(
             tcfg, train=dataclasses.replace(

@@ -633,7 +633,14 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     rgb|gt|pred triple grid of the report_worst highest-RMSE images) and
     summary.json. The dataset metrics come from the same per-image
     sufficient statistics (their sums equal the global sums), so the
-    report adds one D2H of per-image stats per batch, not a second pass."""
+    report adds one D2H of per-image stats per batch, not a second pass.
+
+    Note on --use-grain configs: eval always iterates dataset.batches
+    directly (shuffle=False, deterministic split order) — grain and its
+    num_workers apply to the TRAINING feed only. The numbers are
+    identical either way (same decode, same order); grain's worker
+    processes only buy overlap for the shuffled steady-state train loop,
+    which a sequential one-pass eval doesn't have."""
     from ann3depth_tpu.train import losses
 
     dataset = dataset or build_dataset(cfg, "test")

@@ -219,8 +219,15 @@ def per_image_metric_stats(pred_log, target, mask=None):
         "sum_abs_rel": jnp.sum(jnp.abs(pred - tgt) / tgt * z, axis=axes),
         "sum_sq_rel": jnp.sum(diff * diff / tgt, axis=axes),
         "sum_abs_log": jnp.sum(jnp.abs(dlog), axis=axes),
-        # signed log-error sum: with sum_sq_log it yields SILog (the
-        # variance of the log error — KITTI's leaderboard metric)
+        # signed log-error sum: with sum_sq_log it yields SILog (sqrt of
+        # the variance of the log error). NOTE on comparability: KITTI's
+        # leaderboard computes SILog PER IMAGE, averages across images,
+        # and reports x100; when these stats are summed dataset-wide
+        # (loop.evaluate's global accumulation) the resulting silog is
+        # the POOLED variance over all valid pixels, unscaled — a related
+        # but different number. The per-image KITTI form is what the
+        # report path emits (per_image.jsonl rows finalize per image);
+        # multiply by 100 before comparing to published leaderboards.
         "sum_dlog": jnp.sum(dlog, axis=axes),
         **{f"n_delta{i}": jnp.sum((ratio < 1.25**i) & valid,
                                   axis=axes).astype(jnp.float32)
@@ -236,6 +243,10 @@ def finalize_depth_metrics(stats):
     n = n + (n < 0.5)  # max(n, 1) without jnp/np dispatch
     # SILog = sqrt(var of the log error) — clamped at 0 against fp
     # cancellation; x*(x>0) keeps finalize jnp/np-dispatch-free.
+    # Pooled over whatever the stats were summed over: per-image when
+    # called on per-image stats (report path = KITTI's per-image form,
+    # unscaled), dataset-pooled when called on globally-summed stats
+    # (see the comparability note in depth_metric_stats).
     sivar = stats["sum_sq_log"] / n - (stats["sum_dlog"] / n) ** 2
     out = {
         "rmse": (stats["sum_sq"] / n) ** 0.5,

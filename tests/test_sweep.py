@@ -140,3 +140,33 @@ def test_sweep_resume_skips_recorded_trials(tmp_path, monkeypatch):
     third = sweeplib.run_sweep(cfg, grid3, out_dir, metric="rmse",
                                max_eval_batches=1, progress=False)
     assert len(third["rows"]) == 3
+
+
+@pytest.mark.slow
+def test_sweep_rerun_with_stale_trial_ckpt(tmp_path):
+    """A trial whose ledger row is missing (mid-trial kill) or whose
+    overrides changed at the same index must restart from a CLEAN ckpt dir
+    — stale orbax steps made CheckpointManager.save raise
+    StepAlreadyExistsError before the r4 fix (ADVICE r3, medium)."""
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, input_hw=(48, 64)),
+        train=dataclasses.replace(cfg.train, steps=2, batch_size=2,
+                                  checkpoint_every=2, log_every=2))
+    out_dir = str(tmp_path / "sweep")
+    grid = [sweeplib.parse_param("train.learning_rate=1e-3")]
+    sweeplib.run_sweep(cfg, grid, out_dir, metric="rmse",
+                       max_eval_batches=1, progress=False)
+
+    # mid-trial kill: the ckpt dir has step 2 saved, the ledger row is gone
+    os.remove(os.path.join(out_dir, "sweep.jsonl"))
+    res = sweeplib.run_sweep(cfg, grid, out_dir, metric="rmse",
+                             max_eval_batches=1, progress=False)
+    assert len(res["rows"]) == 1
+
+    # changed grid value mapping to the same trial index
+    grid2 = [sweeplib.parse_param("train.learning_rate=3e-4")]
+    res2 = sweeplib.run_sweep(cfg, grid2, out_dir, metric="rmse",
+                              max_eval_batches=1, progress=False)
+    assert res2["rows"][0]["overrides"] == {"train.learning_rate": 3e-4}

@@ -83,6 +83,50 @@ def test_transcode_max_frames_and_side_by_side(tmp_path):
     assert frames[0].shape == (96, 256, 3)
 
 
+def test_transcode_tta_flip_matches_manual_ensemble(tmp_path):
+    """--tta flip on the video path (ADVICE r3: was a silent orphan flag)
+    is the exact linear-depth average of the plain prediction and the
+    mirrored prediction of the mirrored frame — the apply_with_tta
+    identity, verified through live_step's raw-frame mirror."""
+    import jax
+
+    from ann3depth_tpu.live.infer import live_step
+    from ann3depth_tpu.models import registry
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = _smoke_cfg(tmp_path)
+    state = looplib.create_state(cfg)
+    params = jax.device_put(state.params)
+    emit_s2d = registry.s2d_input_factor(cfg.model.name)
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (1, 96, 128, 3), np.uint8)
+    kw = dict(input_hw=cfg.data.input_hw, display_hw=(96, 128),
+              emit_s2d=emit_s2d)
+
+    d_tta, _ = live_step(state.apply_fn, params, frame, tta="flip", **kw)
+    d_plain, _ = live_step(state.apply_fn, params, frame, **kw)
+    d_flip, _ = live_step(state.apply_fn, params, frame[:, :, ::-1, :], **kw)
+    manual = 0.5 * (np.asarray(d_plain) + np.asarray(d_flip)[:, :, ::-1])
+    np.testing.assert_allclose(np.asarray(d_tta), manual, rtol=2e-3)
+
+
+def test_transcode_tta_flag_threads_through(tmp_path):
+    """infer --video --tta flip actually changes the output depth."""
+    clip = tmp_path / "clip.avi"
+    _write_clip(clip, n=4, hw=(96, 128))
+    cfg = _smoke_cfg(tmp_path)
+    outs = {}
+    for tta in ("", "flip"):
+        dnpy = str(tmp_path / f"d_{tta or 'plain'}.npy")
+        transcode.transcode(cfg, str(clip),
+                            str(tmp_path / f"o_{tta or 'plain'}.avi"),
+                            batch=4, depth_npy=dnpy, tta=tta)
+        outs[tta] = np.load(dnpy)
+    assert outs[""].shape == outs["flip"].shape
+    # random-init weights are not mirror-symmetric: the ensemble differs
+    assert not np.allclose(outs[""], outs["flip"])
+
+
 def test_transcode_rejects_missing_video(tmp_path):
     with pytest.raises(RuntimeError, match="cannot open video"):
         transcode.transcode(_smoke_cfg(tmp_path),
