@@ -277,6 +277,12 @@ def build_parser():
                          "standard scale-ambiguous monocular-depth "
                          "protocol, Zhou et al. 2017) — reports depth "
                          "structure with global scale factored out")
+    pe.add_argument("--crop", choices=["eigen", "garg"], default="",
+                    help="literature eval crop: compute metrics only "
+                         "inside the Eigen et al. 2014 / Garg et al. 2016 "
+                         "fractional window of the depth map (the "
+                         "crop-conditioned protocol published KITTI/NYU "
+                         "numbers use; composes with --align/--tta)")
 
     pl = sub.add_parser("live", help="continuous depth view from camera/video")
     _common_flags(pl)
@@ -504,7 +510,7 @@ def main(argv=None):
         cfg = _resolve(args)
         common = dict(max_batches=args.max_batches,
                       report_worst=args.report_worst, tta=args.tta,
-                      align=args.align)
+                      align=args.align, crop=args.crop)
         names = list(dict.fromkeys(cfg.data.datasets))  # dedupe, keep order
         if len(names) > 1:
             # Per-dataset metrics for multi-dataset configs (a model

@@ -98,6 +98,22 @@ RESIZE_ALIGN_CORNERS = False
 # ---------------------------------------------------------------------------
 EVAL_ACCUMULATION = "global-pixel"
 
+# ---------------------------------------------------------------------------
+# Standard literature eval crops (--crop eigen|garg). Published KITTI/NYU
+# monocular-depth numbers are crop-conditioned: metrics are computed only
+# inside a fixed fractional window of the depth map. Fractions of (H, W) as
+# (top, bottom, left, right) — row range [top*H, bottom*H), col range
+# [left*W, right*W) — the canonical constants from Eigen et al. 2014's eval
+# code as propagated by Garg et al. 2016 and the monodepth/monodepth2
+# evaluation scripts. FLAGGED CHOICE: the reference (a Make3D/NYU project)
+# may have used no crop at all; these exist so a literature protocol can be
+# reproduced end-to-end, and apply to whatever target_hw a config evals at.
+# ---------------------------------------------------------------------------
+EVAL_CROPS = {
+    "eigen": (0.3324324, 0.91351351, 0.0359477, 0.96405229),
+    "garg": (0.40810811, 0.99189189, 0.03594771, 0.96405229),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class ReferenceSpec:

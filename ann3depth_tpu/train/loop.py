@@ -614,7 +614,7 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
 
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
              mesh=None, use_ema=False, report_dir=None, report_worst=8,
-             ckpt_step=None, tta="", avg_last=None, align=""):
+             ckpt_step=None, tta="", avg_last=None, align="", crop=""):
     """Eval loop: accumulate global sufficient statistics over the test
     split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
     error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
@@ -627,6 +627,10 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     align="median": per-image median scale alignment of the prediction
     before metrics (step.apply_alignment — the scale-ambiguous eval
     protocol); applies to both the stats and the report path.
+
+    crop="eigen"|"garg": restrict metrics to the literature's fractional
+    eval crop (reference_spec.EVAL_CROPS; losses.eval_crop_mask). Composes
+    with tta and align (the median window is the cropped region).
 
     report_dir: also write per-image error attribution — per_image.jsonl
     (one metrics row per test image, split order), worst.png (a
@@ -698,7 +702,7 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
                    target_hw=resolved_target_hw(cfg),
                    si_lambda=cfg.train.si_lambda,
                    use_pallas=_use_pallas(cfg), loss_kind=cfg.train.loss,
-                   tta=tta, align=align)
+                   tta=tta, align=align, crop=crop)
     totals = {}
     rows, worst = [], []  # report mode: per-image rows + worst-K heap
     for b, (img_u8, depth) in enumerate(

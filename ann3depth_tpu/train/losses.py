@@ -32,6 +32,30 @@ def _flatten_mask(target, mask):
     return valid
 
 
+def eval_crop_mask(hw, crop: str):
+    """[h, w] bool mask for a named literature eval crop, or None.
+
+    crop in reference_spec.EVAL_CROPS ('eigen' | 'garg'): True inside the
+    fractional window, False outside — AND-composes with the depth-validity
+    mask through the `mask` argument of every metric/alignment function
+    here. Built with numpy from the STATIC target shape, so inside a jitted
+    eval step it folds to a compile-time constant (no device compute
+    beyond the elementwise AND)."""
+    if not crop:
+        return None
+    import numpy as np
+
+    try:
+        top, bottom, left, right = ref.EVAL_CROPS[crop]
+    except KeyError:
+        raise ValueError(f"unknown eval crop {crop!r}; have "
+                         f"{sorted(ref.EVAL_CROPS)}")
+    h, w = hw
+    m = np.zeros((h, w), bool)
+    m[int(top * h):int(bottom * h), int(left * w):int(right * w)] = True
+    return m
+
+
 def per_image_si_loss(pred_log, target, mask=None, lam=ref.SI_LOSS_LAMBDA):
     """[B] per-image Eigen eq. 4 losses (sum over spatial dims per image)."""
     pred_log = jnp.asarray(pred_log, jnp.float32)

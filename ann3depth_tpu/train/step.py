@@ -408,7 +408,7 @@ def apply_with_tta(apply_fn, params, images, tta=""):
     return pred_log
 
 
-def apply_alignment(pred_log, depths, align=""):
+def apply_alignment(pred_log, depths, align="", mask=None):
     """Optional per-image scale alignment of the prediction against GT
     before metrics — the standard protocol for scale-ambiguous monocular
     depth (Zhou et al. 2017 / Monodepth2): scale each predicted map by
@@ -418,6 +418,9 @@ def apply_alignment(pred_log, depths, align=""):
 
     align="" (default) is a no-op; "median" applies the protocol. An
     all-invalid image gets shift 0 (its stats are zero-weighted anyway).
+    mask (e.g. an eval crop): the medians are computed only over masked
+    valid pixels — the literature protocol computes the scale ratio
+    inside the crop (monodepth2's evaluate_depth masks before median).
     """
     if not align:
         return pred_log
@@ -427,7 +430,7 @@ def apply_alignment(pred_log, depths, align=""):
 
     t = jnp.asarray(depths, jnp.float32)
     p = pred_log.reshape(t.shape).astype(jnp.float32)
-    valid = losses._flatten_mask(t, None)
+    valid = losses._flatten_mask(t, mask)
     axes = tuple(range(1, t.ndim))
     med_gt = jnp.nanmedian(jnp.where(valid, t, jnp.nan), axis=axes)
     med_pr = jnp.nanmedian(jnp.where(valid, jnp.exp(p), jnp.nan), axis=axes)
@@ -440,47 +443,57 @@ def apply_alignment(pred_log, depths, align=""):
 
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
                                              "si_lambda", "use_pallas",
-                                             "loss_kind", "tta", "align"))
+                                             "loss_kind", "tta", "align",
+                                             "crop"))
 def eval_stats_step(state: TrainState, img_u8, depth_raw, *, input_hw,
                     target_hw, si_lambda=0.5, use_pallas=False,
-                    loss_kind="si", tta="", align=""):
+                    loss_kind="si", tta="", align="", crop=""):
     """Eval: preprocess -> forward -> SUFFICIENT STATISTICS (no augment).
 
     Returns summable f32 scalars (losses.depth_metric_stats); the eval loop
     accumulates them across the split and finalizes once, so dataset RMSE is
     the global-pixel RMSE (reference_spec.EVAL_ACCUMULATION), not a mean of
     per-batch means. si_lambda must match the training config so train/eval
-    loss curves are comparable."""
+    loss curves are comparable.
+
+    crop='eigen'|'garg': restrict metrics (and the --align median window)
+    to the literature's fractional eval crop (reference_spec.EVAL_CROPS) —
+    a compile-time [h, w] mask ANDed into pixel validity."""
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=None,
         use_pallas=use_pallas)
+    mask = losses.eval_crop_mask(target_hw, crop)
     pred_log = apply_with_tta(state.apply_fn, state.params, images, tta)
-    pred_log = apply_alignment(pred_log, depths, align)
-    return losses.depth_metric_stats(pred_log, depths, si_lambda=si_lambda,
+    pred_log = apply_alignment(pred_log, depths, align, mask)
+    return losses.depth_metric_stats(pred_log, depths, mask,
+                                     si_lambda=si_lambda,
                                      loss_kind=loss_kind)
 
 
 @functools.partial(jax.jit, static_argnames=("input_hw", "target_hw",
                                              "si_lambda", "use_pallas",
-                                             "loss_kind", "tta", "align"))
+                                             "loss_kind", "tta", "align",
+                                             "crop"))
 def eval_report_step(state: TrainState, img_u8, depth_raw, *, input_hw,
                      target_hw, si_lambda=0.5, use_pallas=False,
-                     loss_kind="si", tta="", align=""):
+                     loss_kind="si", tta="", align="", crop=""):
     """Eval with per-image attribution (loop.evaluate's report path).
 
     One device program returns (per_image_stats [B]-leaved dict incl. the
     per-image training loss, images, depths, pred_log) so the report loop
     can rank images and render worst-K triples without a second forward.
     jnp.sum of each stats leaf equals depth_metric_stats' global sums, so
-    the report eval accumulates the same dataset metrics."""
+    the report eval accumulates the same dataset metrics. crop: same
+    literature eval-crop mask as eval_stats_step."""
     images, depths = preprocess.preprocess_batch(
         img_u8, depth_raw, input_hw, target_hw, key=None,
         use_pallas=use_pallas)
+    mask = losses.eval_crop_mask(target_hw, crop)
     pred_log = apply_with_tta(state.apply_fn, state.params, images, tta)
-    pred_log = apply_alignment(pred_log, depths, align)
-    per = losses.per_image_metric_stats(pred_log, depths)
+    pred_log = apply_alignment(pred_log, depths, align, mask)
+    per = losses.per_image_metric_stats(pred_log, depths, mask)
     per["si_loss"] = losses.per_image_depth_loss(
-        pred_log, depths, kind=loss_kind, lam=si_lambda)
+        pred_log, depths, mask, kind=loss_kind, lam=si_lambda)
     return per, images, depths, pred_log
 
 
