@@ -237,6 +237,31 @@ PRESETS = {
         model={"name": "encdec", "width_mult": 2.0},
         train={"batch_size": 64},
     ),
+    # Best-measured quality stack (r4, benchmarks/exp_w2_best.py): the
+    # levers BASELINE.md priced independently, composed and re-measured as
+    # ONE training run — width-2 capacity (-4.2% eval RMSE alone), fused
+    # flip/crop-zoom/photometric augmentation (-1.2% on w1), and the
+    # si+grad loss (-1.74%). b64 is width-2's train-throughput peak
+    # (MFU 0.697). Eval this preset with `--tta flip` (offline-only
+    # ensemble, -3..4% more) and, for scale-ambiguous protocols,
+    # `--align median`; the measured composition number lives in
+    # BASELINE.md's w2-best row.
+    "encdec-w2-best": _cfg(
+        data={"datasets": ("make3d",), "augment": True},
+        model={"name": "encdec", "width_mult": 2.0},
+        train={"batch_size": 64, "loss": "si+grad"},
+    ),
+    # Throughput preset (BASELINE.md batch-ladder row): XLA picks a
+    # distinctly better conv tiling at b128 — train MFU 0.473 / 11.8k
+    # img/s vs 0.335 / 8.3k at the b16 parity point. For
+    # capacity-insensitive training runs on the parity-width model; the
+    # recommendation previously lived only in BASELINE.md prose
+    # (VERDICT r3 Weak #2).
+    "encdec-b128": _cfg(
+        data={"datasets": ("make3d",)},
+        model={"name": "encdec"},
+        train={"batch_size": 128},
+    ),
     # Test/smoke preset: synthetic data, tiny everything.
     "smoke": _cfg(
         data={"datasets": ("synthetic",)},

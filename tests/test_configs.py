@@ -58,6 +58,21 @@ def test_dpt_preset_shape_and_remat_default():
     assert cfg.data.input_hw == (384, 384)
 
 
+def test_best_and_throughput_presets():
+    """r4 presets encode BASELINE.md's measured recommendations: the
+    quality-lever stack (w2 x augment x si+grad at w2's b64 peak) and the
+    b128 tiling sweet spot that previously lived only in prose."""
+    best = get_config("encdec-w2-best")
+    assert best.model.width_mult == 2.0
+    assert best.data.augment is True
+    assert best.train.loss == "si+grad"
+    assert best.train.batch_size == 64
+
+    b128 = get_config("encdec-b128")
+    assert b128.train.batch_size == 128
+    assert b128.model.width_mult == 1.0  # parity-width model
+
+
 def test_cli_preprocess_impl_flag():
     from ann3depth_tpu.cli import build_parser, _resolve
 
