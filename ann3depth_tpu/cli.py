@@ -357,14 +357,18 @@ def build_parser():
     pd.add_argument("--dataset", required=True, choices=["make3d", "nyu"])
     pd.add_argument("--data-dir", default="data")
 
-    pp = sub.add_parser("prepare", help="pack a dataset into record shards "
+    pp = sub.add_parser("prepare", help="pack a dataset into records "
                         "(decode once, train many times)")
     pp.add_argument("--dataset", required=True,
                     choices=["make3d", "nyu", "synthetic"])
     pp.add_argument("--data-dir", default="data")
     pp.add_argument("--out-dir", help="default: <data-dir>/records")
     pp.add_argument("--split", default="train", choices=["train", "test"])
-    pp.add_argument("--shard-size", type=int, default=64)
+    pp.add_argument("--format", default="npy", choices=["npy", "npz"],
+                    help="npy: one memmap'd pair per split (shuffle-friendly"
+                    " random access, the default); npz: legacy shards")
+    pp.add_argument("--shard-size", type=int, default=64,
+                    help="npz format only")
 
     pb = sub.add_parser("bench", help="run the benchmark suite")
     _common_flags(pb)
@@ -784,7 +788,7 @@ def main(argv=None):
             ds = NYUDataset(args.data_dir, split=args.split)
         out_dir = args.out_dir or os.path.join(args.data_dir, "records")
         index = records.pack(ds, out_dir, args.split,
-                             shard_size=args.shard_size)
+                             shard_size=args.shard_size, format=args.format)
         print(json.dumps({"index": index, "examples": len(ds)}))
         return 0
 

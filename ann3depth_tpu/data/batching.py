@@ -98,6 +98,10 @@ def iter_batches(dataset, batch_size: int, *, steps: Optional[int] = None,
             f"batch_size {batch_size} > dataset size {n} with "
             f"drop_remainder: no full batch can ever be formed")
     rng = np.random.default_rng(seed)
+    # Vectorized batch read when the dataset offers one (records.py npy
+    # format): one fancy-indexed memmap gather instead of batch_size
+    # __getitem__ calls + a Python-level stack. Same examples, same order.
+    gather = getattr(dataset, "gather", None)
     step = 0
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
@@ -106,8 +110,11 @@ def iter_batches(dataset, batch_size: int, *, steps: Optional[int] = None,
             if steps is not None and step >= steps:
                 return
             idx = order[s:s + batch_size]
-            imgs, deps = zip(*(dataset[int(i)] for i in idx))
-            yield np.stack(imgs), np.stack(deps)
+            if gather is not None:
+                yield gather(idx)
+            else:
+                imgs, deps = zip(*(dataset[int(i)] for i in idx))
+                yield np.stack(imgs), np.stack(deps)
             step += 1
         if steps is None:
             return

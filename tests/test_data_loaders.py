@@ -329,21 +329,70 @@ def test_build_dataset_prefers_records(tmp_path):
     assert len(ds) == 6
 
 
-def test_records_pack_roundtrip(tmp_path):
+@pytest.mark.parametrize("fmt", ["npy", "npz"])
+def test_records_pack_roundtrip(tmp_path, fmt):
     from ann3depth_tpu.data.records import RecordDataset, pack
     from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
 
     src = SyntheticDepthDataset(n=10, img_hw=(24, 32), depth_hw=(12, 16))
-    index = pack(src, str(tmp_path / "rec"), "train", shard_size=4)
+    index = pack(src, str(tmp_path / "rec"), "train", shard_size=4,
+                 format=fmt)
     assert os.path.exists(index)
     packed = RecordDataset(index)
     assert len(packed) == 10
-    for i in (0, 4, 9):  # spans all three shards
+    for i in (0, 4, 9):  # npz: spans all three shards
         a_img, a_dep = src[i]
         b_img, b_dep = packed[i]
         np.testing.assert_array_equal(a_img, b_img)
         np.testing.assert_array_equal(a_dep, b_dep)
     imgs, deps = next(packed.batches(3, steps=1, shuffle=False))
     assert imgs.shape == (3, 24, 32, 3)
+    assert imgs.dtype == np.uint8 and deps.dtype == np.float32
     idx = json.load(open(index))
-    assert idx["total"] == 10 and len(idx["shards"]) == 3
+    assert idx["total"] == 10
+    if fmt == "npz":
+        assert len(idx["shards"]) == 3
+    else:
+        assert idx["format"] == "npy" and "shards" not in idx
+
+
+def test_records_npy_npz_same_batches(tmp_path):
+    """The gather fast path (npy memmap fancy-indexing, batching.py) must
+    yield bitwise the same shuffled epoch as the per-item npz path."""
+    from ann3depth_tpu.data.records import RecordDataset, pack
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+
+    src = SyntheticDepthDataset(n=12, img_hw=(16, 16), depth_hw=(8, 8))
+    a = RecordDataset(pack(src, str(tmp_path / "a"), "train", format="npy"))
+    b = RecordDataset(pack(src, str(tmp_path / "b"), "train", format="npz",
+                           shard_size=5))
+    assert a.gather is not None and b.gather is None
+    for (ai, ad), (bi, bd) in zip(a.batches(4, steps=6, seed=3),
+                                  b.batches(4, steps=6, seed=3)):
+        np.testing.assert_array_equal(ai, bi)
+        np.testing.assert_array_equal(ad, bd)
+
+
+def test_records_npy_interrupted_pack_unreadable(tmp_path):
+    """The index commits the pack (written last, atomically): data files
+    without an index must not look like a dataset; a stale index over a
+    truncated data file must fail loudly at open."""
+    import os as _os
+
+    from ann3depth_tpu.data import records
+    from ann3depth_tpu.data.records import RecordDataset, pack
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+
+    src = SyntheticDepthDataset(n=8, img_hw=(16, 16), depth_hw=(8, 8))
+    index = pack(src, str(tmp_path), "train", format="npy")
+    assert records.find_index(str(tmp_path), "synthetic", "train")
+
+    # Simulate a crash mid-pack: fewer rows than the index claims.
+    import numpy as _np
+    imgs_path = str(tmp_path / "synthetic-train-images.npy")
+    short = _np.lib.format.open_memmap(
+        imgs_path + ".new", mode="w+", dtype=_np.uint8, shape=(3, 16, 16, 3))
+    del short
+    _os.replace(imgs_path + ".new", imgs_path)
+    with pytest.raises(ValueError, match="incomplete"):
+        RecordDataset(index)
