@@ -121,8 +121,20 @@ def _verify_archive(path: str) -> None:
         if n == 0:
             raise RuntimeError(f"{path}: archive contains no members")
     elif path.endswith(".mat"):
+        # Real MATLAB v7.3 files carry a 512-byte userblock (the MATLAB
+        # text header); the HDF5 signature then sits at offset 512. The
+        # HDF5 spec allows the signature at 0, 512, 1024, ... — probe the
+        # offsets a .mat can plausibly use. (Checking only offset 0 would
+        # reject every genuine NYU download; caught by the r4 true-scale
+        # dress rehearsal.)
         with open(path, "rb") as f:
-            if f.read(8) != _HDF5_MAGIC:
+            ok = False
+            for off in (0, 512, 1024):
+                f.seek(off)
+                if f.read(8) == _HDF5_MAGIC:
+                    ok = True
+                    break
+            if not ok:
                 raise RuntimeError(
                     f"{path}: not a MATLAB v7.3 (HDF5) file — wrong or "
                     "truncated download")

@@ -396,3 +396,21 @@ def test_records_npy_interrupted_pack_unreadable(tmp_path):
     _os.replace(imgs_path + ".new", imgs_path)
     with pytest.raises(ValueError, match="incomplete"):
         RecordDataset(index)
+
+
+def test_download_v73_mat_with_userblock_verifies(tmp_path):
+    """Real MATLAB v7.3 files put the HDF5 signature at offset 512 (the
+    userblock holds MATLAB's text header). The r4 true-scale rehearsal
+    caught _verify_archive rejecting exactly that shape; lock the fix."""
+    import h5py
+
+    from ann3depth_tpu.data import download as dl
+
+    p = tmp_path / "nyu_depth_v2_labeled.mat"
+    with h5py.File(p, "w", userblock_size=512) as f:
+        f.create_dataset("depths", data=np.zeros((2, 4, 3), np.float32))
+    with open(p, "r+b") as f:
+        f.write(b"MATLAB 7.3 MAT-file".ljust(116, b" "))
+        f.seek(124)
+        f.write(b"\x00\x02IM")
+    dl._verify_archive(str(p))  # must not raise
