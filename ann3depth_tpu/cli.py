@@ -356,6 +356,11 @@ def build_parser():
     pd = sub.add_parser("download", help="fetch + extract datasets")
     pd.add_argument("--dataset", required=True, choices=["make3d", "nyu"])
     pd.add_argument("--data-dir", default="data")
+    pd.add_argument("--record-checksums", action="store_true",
+                    help="after verification, write the staged archives' "
+                         "sha256 into <data-dir>/<dataset>/checksums.json; "
+                         "every later verify enforces them (first verified "
+                         "staging becomes a hard integrity gate)")
 
     pp = sub.add_parser("prepare", help="pack a dataset into records "
                         "(decode once, train many times)")
@@ -769,7 +774,8 @@ def main(argv=None):
 
     if args.mode == "download":
         from ann3depth_tpu.data import download
-        download.download(args.dataset, args.data_dir)
+        download.download(args.dataset, args.data_dir,
+                          record=args.record_checksums)
         return 0
 
     if args.mode == "prepare":

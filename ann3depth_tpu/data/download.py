@@ -42,8 +42,10 @@ ARCHIVES = {
 }
 
 # sha256 per archive basename, enforced when set. The values are unknowable
-# in this offline environment (no network, no reference artifacts); fill
-# them in on first verified download and they become hard gates.
+# in this offline environment (no network, no reference artifacts); once
+# known they become hard gates. Runtime-recorded hashes (see
+# `download --record-checksums`) live in <data_dir>/<dataset>/checksums.json
+# and are enforced the same way on every later verify.
 CHECKSUMS: dict = {
     "Train400Img.tar.gz": None,
     "Train400Depth.tgz": None,
@@ -51,6 +53,57 @@ CHECKSUMS: dict = {
     "Test134Depth.tar.gz": None,
     "nyu_depth_v2_labeled.mat": None,
 }
+
+RECORDED_NAME = "checksums.json"
+
+
+def _sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _expected_sha(path: str):
+    """Builtin CHECKSUMS first (authoritative), else the recorded
+    checksums.json sitting next to the archive. Returns (sha|None, source)."""
+    base = os.path.basename(path)
+    want = CHECKSUMS.get(base)
+    if want is not None:
+        return want, "builtin CHECKSUMS"
+    rec = os.path.join(os.path.dirname(path), RECORDED_NAME)
+    if os.path.exists(rec):
+        import json
+
+        want = json.load(open(rec)).get(base)
+        if want is not None:
+            return want, rec
+    return None, None
+
+
+def record_checksums(dataset: str, data_dir: str) -> dict:
+    """Write sha256 of every staged archive of `dataset` into
+    <data_dir>/<dataset>/checksums.json. From then on _verify_archive
+    enforces them — first verified staging becomes a hard gate against
+    later corruption or silent replacement."""
+    import json
+
+    base = os.path.join(data_dir, dataset)
+    rec_path = os.path.join(base, RECORDED_NAME)
+    recorded = json.load(open(rec_path)) if os.path.exists(rec_path) else {}
+    for url, _sub in ARCHIVES[dataset]:
+        p = os.path.join(base, os.path.basename(url))
+        if os.path.exists(p):
+            recorded[os.path.basename(url)] = _sha256(p)
+    tmp = rec_path + ".part"
+    with open(tmp, "w") as f:
+        json.dump(recorded, f, indent=1, sort_keys=True)
+    os.replace(tmp, rec_path)
+    log.info("recorded %d checksum(s) -> %s", len(recorded), rec_path)
+    return recorded
 
 # Post-extract layout: (subpath-under-<data_dir>/<dataset>, glob, min count).
 EXPECTED_LAYOUT = {
@@ -98,18 +151,13 @@ def _verify_archive(path: str) -> None:
     decompress of file payloads). .mat: must be a MATLAB v7.3 = HDF5 file
     (magic bytes). Checksums from CHECKSUMS enforced when known.
     """
-    want = CHECKSUMS.get(os.path.basename(path))
+    want, source = _expected_sha(path)
     if want is not None:
-        import hashlib
-
-        h = hashlib.sha256()
-        with open(path, "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 20), b""):
-                h.update(chunk)
-        if h.hexdigest() != want:
+        got = _sha256(path)
+        if got != want:
             raise RuntimeError(
-                f"{path}: sha256 mismatch (got {h.hexdigest()}, want {want})"
-                " — delete and re-stage the archive")
+                f"{path}: sha256 mismatch (got {got}, want {want} per "
+                f"{source}) — delete and re-stage the archive")
     if path.endswith((".tar.gz", ".tgz", ".tar")):
         try:
             with tarfile.open(path) as tf:
@@ -156,12 +204,15 @@ def _verify_layout(dataset: str, base: str) -> None:
             "\n  " + "\n  ".join(problems))
 
 
-def download(dataset: str, data_dir: str) -> None:
+def download(dataset: str, data_dir: str, record: bool = False) -> None:
     """Ensure `dataset` is laid out under data_dir; fetch if reachable.
 
     Every staged archive is integrity-checked (headers walked, HDF5 magic,
-    sha256 when known) and the extracted tree is layout-verified, so a
-    truncated download fails here with a clear message instead of mid-epoch.
+    sha256 when known — builtin or previously recorded) and the extracted
+    tree is layout-verified, so a truncated download fails here with a
+    clear message instead of mid-epoch. record=True writes the verified
+    archives' sha256 into <data_dir>/<dataset>/checksums.json, turning
+    this staging into a hard gate for every later run.
     """
     if dataset not in ARCHIVES:
         raise KeyError(f"unknown dataset {dataset!r}; have {sorted(ARCHIVES)}")
@@ -179,6 +230,8 @@ def download(dataset: str, data_dir: str) -> None:
             f"files under {os.path.join(data_dir, dataset)}/ manually:\n  "
             + "\n  ".join(missing))
     _verify_layout(dataset, os.path.join(data_dir, dataset))
+    if record:
+        record_checksums(dataset, data_dir)
     log.info("%s ready under %s", dataset, data_dir)
 
 

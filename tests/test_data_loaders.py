@@ -414,3 +414,48 @@ def test_download_v73_mat_with_userblock_verifies(tmp_path):
         f.seek(124)
         f.write(b"\x00\x02IM")
     dl._verify_archive(str(p))  # must not raise
+
+
+def test_recorded_checksums_become_hard_gates(tmp_path):
+    """`download --record-checksums` writes sha256s next to the archives;
+    later verifies enforce them, so silent corruption/replacement of a
+    staged archive fails fast with the recording named as the source."""
+    import io
+    import tarfile
+
+    from ann3depth_tpu.data import download as dl
+
+    base = tmp_path / "make3d"
+    base.mkdir()
+    p = base / "Test134.tar.gz"
+    with tarfile.open(p, "w:gz") as tf:
+        ti = tarfile.TarInfo("Test134/img-test0000.jpg")
+        ti.size = 3
+        tf.addfile(ti, io.BytesIO(b"abc"))
+    dl._verify_archive(str(p))  # no gate yet
+    rec = dl.record_checksums("make3d", str(tmp_path))
+    assert "Test134.tar.gz" in rec
+    dl._verify_archive(str(p))  # matches its own recording
+    # corrupt-in-place: same name, different bytes (still a valid tarball)
+    with tarfile.open(p, "w:gz") as tf:
+        ti = tarfile.TarInfo("Test134/img-test0000.jpg")
+        ti.size = 3
+        tf.addfile(ti, io.BytesIO(b"xyz"))
+    with pytest.raises(RuntimeError, match="sha256 mismatch.*checksums.json"):
+        dl._verify_archive(str(p))
+
+
+def test_builtin_checksums_outrank_recorded(tmp_path, monkeypatch):
+    import json
+
+    from ann3depth_tpu.data import download as dl
+
+    base = tmp_path / "make3d"
+    base.mkdir()
+    p = base / "Test134.tar.gz"
+    p.write_bytes(b"payload")
+    (base / dl.RECORDED_NAME).write_text(
+        json.dumps({"Test134.tar.gz": dl._sha256(str(p))}))
+    monkeypatch.setitem(dl.CHECKSUMS, "Test134.tar.gz", "0" * 64)
+    with pytest.raises(RuntimeError, match="builtin CHECKSUMS"):
+        dl._verify_archive(str(p))
