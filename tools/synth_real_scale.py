@@ -168,6 +168,26 @@ def synth_nyu(data_dir: str, n: int = 1449, seed: int = 12,
           f"{time.perf_counter() - t0:.0f}s")
 
 
+def synth_nyu_splits(data_dir: str, n: int = 1449, seed: int = 13,
+                     n_train: int = 795) -> None:
+    """Write an official-style splits.mat (MATLAB v5: trainNdxs/testNdxs,
+    1-based column vectors, the standard 795/654 partition) next to the
+    labeled mat — exercises NYUDataset's tier-1 split resolution."""
+    import scipy.io
+
+    path = os.path.join(data_dir, "nyu", "splits.mat")
+    if os.path.exists(path):
+        print("  splits.mat: exists, skipping")
+        return
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n) + 1  # 1-based, disjoint, covers all frames
+    scipy.io.savemat(path, {
+        "trainNdxs": np.sort(perm[:n_train]).reshape(-1, 1).astype(np.float64),
+        "testNdxs": np.sort(perm[n_train:]).reshape(-1, 1).astype(np.float64),
+    })
+    print(f"  splits.mat: {n_train} train / {n - n_train} test indices")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("data_dir")
@@ -175,6 +195,10 @@ def main():
     ap.add_argument("--make3d-n", type=int, default=400)
     ap.add_argument("--dataset", choices=["make3d", "nyu", "all"],
                     default="all")
+    ap.add_argument("--splits", action="store_true",
+                    help="also write the official-style NYU splits.mat "
+                         "(tier-1 split resolution; omit to exercise the "
+                         "scene-based tier-2 path)")
     args = ap.parse_args()
     if args.dataset in ("make3d", "all"):
         print("make3d archives:")
@@ -182,6 +206,8 @@ def main():
     if args.dataset in ("nyu", "all"):
         print("nyu labeled mat:")
         synth_nyu(args.data_dir, n=args.nyu_n)
+        if args.splits:
+            synth_nyu_splits(args.data_dir, n=args.nyu_n)
     free = shutil.disk_usage(args.data_dir).free / 1e9
     print(f"done; {free:.0f} GB free on the data volume")
 
