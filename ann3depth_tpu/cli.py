@@ -108,6 +108,8 @@ def _resolve(args) -> cfglib.Config:
     if getattr(args, "grad_accum", None) is not None:
         train["grad_accum"] = args.grad_accum
     if getattr(args, "zero1", False): train["zero1"] = True
+    if getattr(args, "steps_per_dispatch", None) is not None:
+        train["steps_per_dispatch"] = args.steps_per_dispatch
     if getattr(args, "tensor_parallel", None) is not None:
         train["tensor_parallel"] = args.tensor_parallel
     if getattr(args, "ema_decay", None) is not None:
@@ -120,6 +122,10 @@ def _resolve(args) -> cfglib.Config:
         train["early_stop_min_delta"] = args.early_stop_min_delta
     if getattr(args, "eval_every", None) is not None:
         train["eval_every"] = args.eval_every
+    if getattr(args, "log_every", None) is not None:
+        train["log_every"] = args.log_every
+    if getattr(args, "checkpoint_every", None) is not None:
+        train["checkpoint_every"] = args.checkpoint_every
     if getattr(args, "save_best", False):
         train["save_best"] = True
     if args.steps is not None: train["steps"] = args.steps
@@ -199,10 +205,22 @@ def build_parser():
                          "the latest (rollback; implies --resume and "
                          "DELETES checkpoints newer than N)")
     pt.add_argument("--augment", action="store_true")
+    pt.add_argument("--steps-per-dispatch", type=int, metavar="K",
+                    help="fold K train steps into one scanned device "
+                         "program per dispatch (requires --cache-device; "
+                         "steps and log/checkpoint/eval cadences must be "
+                         "multiples of K). Removes the per-step dispatch "
+                         "boundary — the loop then runs at the scan-of-K "
+                         "benchmark rate")
     pt.add_argument("--tensorboard", action="store_true",
                     help="also write TensorBoard event files under workdir/tb")
     pt.add_argument("--eval-every", type=int,
                     help="in-loop eval cadence in steps (0 disables)")
+    pt.add_argument("--log-every", type=int,
+                    help="metrics/log cadence in steps (default 50; must "
+                         "be a multiple of --steps-per-dispatch)")
+    pt.add_argument("--checkpoint-every", type=int,
+                    help="checkpoint cadence in steps (default 500)")
     pt.add_argument("--early-stop-patience", type=int,
                     help="stop when the in-loop eval RMSE hasn't improved "
                          "for this many consecutive evals (0 = off; "

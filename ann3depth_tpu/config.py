@@ -103,6 +103,16 @@ class TrainConfig:
     checkpoint_every: int = 500
     log_every: int = 50
     eval_every: int = 500
+    # >1: fold this many train steps into ONE jitted lax.scan program per
+    # dispatch (cache-device runs only — the pool and the whole sampling
+    # stream live in HBM, so K steps need zero host round-trips). This is
+    # the scan-of-K the benchmarks use, promoted to the real loop: it
+    # removes the per-step dispatch boundary that costs ~2.5-3x loop-level
+    # throughput on high-latency links (tunnel) and a few % locally.
+    # log/checkpoint/eval cadences and `steps` must be multiples of it
+    # (metrics surface at block boundaries; the block's last step is
+    # logged). Composes with grad_accum / zero1 / ema / distill.
+    steps_per_dispatch: int = 1
     # >0: stop training when the in-loop eval RMSE hasn't improved by at
     # least early_stop_min_delta for this many CONSECUTIVE evals
     # (requires eval_every > 0). The reference ran a fixed step budget;

@@ -147,6 +147,7 @@ class DevicePoolSampler:
         self.pool_img = self._put(img, sharding)
         self.pool_dep = self._put(dep, sharding)
         self._idx_sharding = sharding
+        self._mesh = mesh
         log.info("device cache: staged %d examples (%.0f MB) across %d "
                  "device(s), process %d/%d", n, nproc * nbytes / 1e6,
                  self.n_data, pid, nproc)
@@ -162,6 +163,9 @@ class DevicePoolSampler:
             return pool_img[idx], pool_dep[idx]
 
         self._gather = jax.jit(_gather)
+        # public alias: the scanned K-step driver (train/loop.py) embeds
+        # this gather inside its block program.
+        self.gather_fn = self._gather
 
     def _put(self, x, sharding):
         if self._nproc > 1:
@@ -174,11 +178,16 @@ class DevicePoolSampler:
         return np.stack([self._rng.permutation(self.shard)
                          for _ in range(self.local_data)])
 
-    def __iter__(self):
+    def _total_steps(self):
         # steps=None -> exactly one epoch (iter_batches' contract).
-        total = (self.shard // self.per_dev if self.steps is None
-                 else self.steps)
-        step = 0
+        return (self.shard // self.per_dev if self.steps is None
+                else self.steps)
+
+    def _local_index_stream(self):
+        """Host-side per-step shard-LOCAL index rows [local_data * per_dev]
+        i32 — the single source of the sampling order for both the
+        per-step iterator and the scanned-block driver."""
+        step, total = 0, self._total_steps()
         while step < total:
             perms = self._epoch_local_perms()
             for b in range(self.shard // self.per_dev):
@@ -187,11 +196,36 @@ class DevicePoolSampler:
                 # concat of per-device local index blocks: block d holds
                 # indices into device d's shard.
                 idx = perms[:, b * self.per_dev:(b + 1) * self.per_dev]
-                idx = self._put(
-                    np.ascontiguousarray(idx.reshape(-1).astype(np.int32)),
-                    self._idx_sharding)
-                yield self._gather(self.pool_img, self.pool_dep, idx)
+                yield np.ascontiguousarray(idx.reshape(-1).astype(np.int32))
                 step += 1
+
+    def __iter__(self):
+        for idx in self._local_index_stream():
+            idx = self._put(idx, self._idx_sharding)
+            yield self._gather(self.pool_img, self.pool_dep, idx)
+
+    def index_blocks(self, k: int):
+        """Device-put [k, local_data * per_dev] index blocks — k steps of
+        the SAME sampling stream __iter__ walks, grouped for the scanned
+        K-step train driver (train/loop.py steps_per_dispatch). Sharded
+        (None, data): lax.scan over the leading axis hands each step its
+        per-device index row with no resharding."""
+        from jax.sharding import NamedSharding
+
+        if k < 1:
+            raise ValueError(f"index_blocks needs k >= 1, got {k}")
+        total = self._total_steps()
+        if total % k:
+            raise ValueError(
+                f"steps={total} is not divisible by the {k}-step dispatch "
+                "block (validated upstream; this is a hard shape "
+                "constraint of the scanned program)")
+        block_sharding = NamedSharding(
+            self._mesh, P(None, meshlib.DATA_AXIS))
+        stream = self._local_index_stream()
+        for _ in range(total // k):
+            block = np.stack([next(stream) for _ in range(k)])
+            yield self._put(block, block_sharding)
 
     def close(self):
         """Free the HBM pool (DeviceFeed API compatibility)."""

@@ -139,6 +139,26 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             "cache_device is exclusive with use_grain and multi-dataset "
             "interleave — one resident pool, one source")
+    spd = cfg.train.steps_per_dispatch
+    if spd < 1:
+        raise ValueError(f"steps_per_dispatch must be >= 1, got {spd}")
+    if spd > 1:
+        if not cfg.data.cache_device:
+            raise ValueError(
+                f"steps_per_dispatch={spd} needs --cache-device: folding "
+                "K steps into one device program requires the data pool "
+                "resident in HBM (a host-fed step can't be scanned)")
+        bad = [f"{name}={v}" for name, v in
+               (("steps", cfg.train.steps),
+                ("log_every", cfg.train.log_every),
+                ("checkpoint_every", cfg.train.checkpoint_every),
+                ("eval_every", cfg.train.eval_every))
+               if v and v % spd]
+        if bad:
+            raise ValueError(
+                f"steps_per_dispatch={spd} must divide the step cadences "
+                f"(the loop only regains control at block boundaries); "
+                f"offending: {', '.join(bad)}")
     if cfg.train.early_stop_patience < 0:
         raise ValueError("early_stop_patience must be >= 0, got "
                          f"{cfg.train.early_stop_patience}")
@@ -356,6 +376,15 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         rng = jax.random.key(cfg.train.seed)
 
     n_steps = cfg.train.steps - start_step
+    if spd > 1 and n_steps % spd:
+        # cfg.train.steps % spd == 0 is validated up top, so this only
+        # trips on a resume from a checkpoint step that isn't block-
+        # aligned (e.g. a checkpoint written by a steps_per_dispatch=1
+        # run at an odd cadence).
+        raise ValueError(
+            f"resume step {start_step} leaves {n_steps} steps, not a "
+            f"multiple of steps_per_dispatch={spd}; resume from a block-"
+            "aligned checkpoint or drop --steps-per-dispatch")
     if cfg.data.cache_device:
         # (exclusivity with use_grain/multi-dataset validated up top,
         # before the checkpoint manager/writers hold resources)
@@ -419,12 +448,49 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     # TPU path keeps the fully async pipeline.
     cpu_lockstep = jax.default_backend() == "cpu" and mesh.devices.size > 1
 
+    run_block = None
+    if spd > 1:
+        # Scanned K-step driver: the benchmarks' scan-of-K promoted to the
+        # real loop. One program advances `spd` steps over the HBM pool —
+        # the gather, preprocess, fwd/bwd, and update all fuse behind a
+        # single dispatch; the per-step rng stays deterministic because
+        # every step fn folds the key with state.step (train/step.py).
+        import functools
+
+        gather = feed.gather_fn
+
+        def _inner(st, im, de, r):
+            if zstep is not None:
+                return zstep(st, im, de, r)
+            if dstep is not None:
+                return dstep(st, im, de, r)
+            # __wrapped__: trace the plain fn — nesting the jitted wrapper
+            # inside the scan would only add donation warnings (same
+            # pattern as benchmarks/bench_train.py's scan-of-K).
+            return steplib.train_step.__wrapped__(st, im, de, r,
+                                                  **step_kwargs)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_block(state, pool_img, pool_dep, idx_block, rng):
+            def body(st, idx):
+                im, de = gather(pool_img, pool_dep, idx)
+                return _inner(st, im, de, rng)
+
+            state, ms = jax.lax.scan(body, state, idx_block)
+            # block-boundary metrics = the LAST step's (what per-step
+            # logging at this cadence would have reported)
+            return state, jax.tree.map(lambda x: x[-1], ms)
+
     # Profiler window: skip compile + a few warm steps, then trace
-    # cfg.train.profile_steps of the steady-state hot loop.
+    # cfg.train.profile_steps of the steady-state hot loop. Units are
+    # DISPATCHES: with steps_per_dispatch>1 each traced unit is one
+    # K-step block program.
+    n_iters = n_steps // spd
     prof_start = prof_stop = -1
     if cfg.train.profile_dir:
-        prof_start = min(5, max(0, n_steps - 1))
-        prof_stop = min(prof_start + max(1, cfg.train.profile_steps), n_steps)
+        prof_start = min(5 if spd == 1 else 1, max(0, n_iters - 1))
+        prof_stop = min(
+            prof_start + max(1, -(-cfg.train.profile_steps // spd)), n_iters)
 
     metrics = {}
     t0 = time.perf_counter()
@@ -456,30 +522,39 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     can_capture_best = (cfg.train.early_stop_patience > 0
                         and tp == 1 and nproc == 1)
     try:
-        for i, (img_u8, depth) in enumerate(feed):
+        iterator = feed.index_blocks(spd) if run_block is not None else feed
+        for i, item in enumerate(iterator):
             if i == prof_start:
                 jax.block_until_ready(metrics.get("loss", ()))  # drain warmup
                 jax.profiler.start_trace(cfg.train.profile_dir)
                 profiling = True
-            step_no = start_step + i
-            if zstep is not None:
-                state, metrics = zstep(state, img_u8, depth, rng)
-            elif dstep is not None:
-                state, metrics = dstep(state, img_u8, depth, rng)
+            if run_block is not None:
+                state, metrics = run_block(state, feed.pool_img,
+                                           feed.pool_dep, item, rng)
+                step_no = start_step + (i + 1) * spd - 1
+                imgs_since += spd * cfg.train.batch_size
             else:
-                state, metrics = steplib.train_step(
-                    state, img_u8, depth, rng, **step_kwargs)
+                img_u8, depth = item
+                step_no = start_step + i
+                if zstep is not None:
+                    state, metrics = zstep(state, img_u8, depth, rng)
+                elif dstep is not None:
+                    state, metrics = dstep(state, img_u8, depth, rng)
+                else:
+                    state, metrics = steplib.train_step(
+                        state, img_u8, depth, rng, **step_kwargs)
+                imgs_since += int(img_u8.shape[0])
             if cpu_lockstep:
                 jax.block_until_ready(metrics["loss"])
             if i + 1 == prof_stop and profiling:
                 jax.block_until_ready(metrics["loss"])  # capture device work
                 jax.profiler.stop_trace()
                 profiling = False
-                log.info("profiler trace (%d steps) -> %s",
+                log.info("profiler trace (%d dispatches) -> %s",
                          prof_stop - prof_start, cfg.train.profile_dir)
-            imgs_since += int(img_u8.shape[0])
+            is_last = i == n_iters - 1
 
-            if (step_no + 1) % cfg.train.log_every == 0 or i == n_steps - 1:
+            if (step_no + 1) % cfg.train.log_every == 0 or is_last:
                 metrics = jax.device_get(metrics)  # sync point
                 if not np.isfinite(metrics["loss"]):
                     raise FloatingPointError(
@@ -573,7 +648,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                             break
                 t0, imgs_since = time.perf_counter(), 0
 
-            if (step_no + 1) % cfg.train.checkpoint_every == 0 or i == n_steps - 1:
+            if (step_no + 1) % cfg.train.checkpoint_every == 0 or is_last:
                 ckpt.save(step_no + 1, state)
     finally:
         if profiling:  # loop exited inside the trace window
