@@ -90,3 +90,50 @@ def test_scan_dispatch_resume_continues_block_aligned(tmp_path, cpu_mesh):
                                    progress=False)
     assert int(state.step) == 8
     assert np.isfinite(metrics["loss"])
+
+
+def test_scan_dispatch_composes_with_grad_accum(tmp_path, cpu_mesh):
+    """K-blocks of accumulated steps: scan-inside-scan. Must match the
+    per-step grad-accum run (same stream, same microbatching)."""
+    from ann3depth_tpu.train import loop as looplib
+
+    s1, _ = looplib.train(_cfg(tmp_path, "ga1", grad_accum=2),
+                          workdir=str(tmp_path / "wga1"), progress=False)
+    s2, _ = looplib.train(
+        _cfg(tmp_path, "ga2", grad_accum=2, steps_per_dispatch=4),
+        workdir=str(tmp_path / "wga2"), progress=False)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_scan_dispatch_composes_with_zero1(tmp_path, cpu_mesh):
+    """The inner-step closure wraps zstep: a ZeRO-1 run under K-dispatch
+    trains, checkpoints, and lands near the per-step ZeRO-1 run."""
+    from ann3depth_tpu.train import loop as looplib
+
+    s1, m1 = looplib.train(_cfg(tmp_path, "z1", zero1=True),
+                           workdir=str(tmp_path / "wz1"), progress=False)
+    s2, m2 = looplib.train(
+        _cfg(tmp_path, "z2", zero1=True, steps_per_dispatch=4),
+        workdir=str(tmp_path / "wz2"), progress=False)
+    assert int(s2.step) == 8 and np.isfinite(m2["loss"])
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_scan_dispatch_with_inloop_eval(tmp_path, cpu_mesh):
+    """eval_every at a block boundary fires between dispatches."""
+    import json
+
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = _cfg(tmp_path, "ev", steps_per_dispatch=4, eval_every=4)
+    state, _ = looplib.train(cfg, workdir=str(tmp_path / "wev"),
+                             progress=False)
+    assert int(state.step) == 8
+    rows = [json.loads(l) for l in
+            open(tmp_path / "wev" / "metrics.jsonl")]
+    eval_steps = [r["step"] for r in rows if "eval_rmse" in r]
+    assert eval_steps == [4, 8]
