@@ -29,6 +29,11 @@ model = cfg.model
 tp = 1
 if mode == "cache":
     data = dataclasses.replace(data, cache_device=True)
+elif mode == "cache_spd":
+    # cache_device + scanned K-step dispatch across two controllers:
+    # index_blocks assembles the [K, local] block via
+    # make_array_from_process_local_data, run_block is one global jit.
+    data = dataclasses.replace(data, cache_device=True)
 elif mode == "grain":
     data = dataclasses.replace(data, use_grain=True)
 elif mode == "multi":
@@ -50,6 +55,7 @@ cfg = dataclasses.replace(
         ckpt_dir=sys.argv[3],
         checkpoint_every=opts.get("checkpoint_every", 5),
         resume=opts.get("resume", False),
+        steps_per_dispatch=opts.get("steps_per_dispatch", 1),
         log_every=2, eval_every=opts.get("eval_every", 3)),
 )
 state, metrics = loop.train(cfg, workdir=sys.argv[4], progress=False)
@@ -183,6 +189,16 @@ def test_two_process_training_feed_paths(tmp_path, mode):
     multi-dataset interleave (aligned source rotation) — each trains
     lockstep with bitwise-identical replicated losses."""
     _run_two_process(tmp_path, mode)
+
+
+@pytest.mark.slow
+def test_two_process_cache_device_scan_dispatch(tmp_path):
+    """steps_per_dispatch under multi-host: each controller ships its
+    [K, local] index block via make_array_from_process_local_data and
+    dispatches the same global scanned program — losses stay bitwise
+    identical across controllers, eval fires at block boundaries."""
+    _run_two_process(tmp_path, "cache_spd", steps_per_dispatch=2,
+                     checkpoint_every=6, eval_every=2)
 
 
 @pytest.mark.slow
