@@ -8,7 +8,7 @@ CONFIG ?= make3d-encdec
 STEPS ?= 5000
 
 .PHONY: test test-fast download-make3d download-nyu train eval live bench \
-        bench-serving native clean perf-check
+        bench-serving native clean perf-check synth-data rehearsal prepare
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -50,3 +50,15 @@ clean:
 
 perf-check:
 	$(PY) -m benchmarks.check_regression
+
+# True-scale synthetic stand-ins (authentic dimensions/formats) for offline
+# end-to-end rehearsal of the real-data chain (tools/synth_real_scale.py).
+synth-data:
+	$(PY) tools/synth_real_scale.py $(DATA_DIR)
+
+prepare:
+	$(PY) -m ann3depth_tpu prepare --dataset make3d --data-dir $(DATA_DIR) --split train
+	$(PY) -m ann3depth_tpu prepare --dataset make3d --data-dir $(DATA_DIR) --split test
+
+# Full offline dress rehearsal: synth -> verify/extract -> pack records.
+rehearsal: synth-data download-make3d download-nyu prepare
