@@ -227,6 +227,23 @@ class DevicePoolSampler:
             block = np.stack([next(stream) for _ in range(k)])
             yield self._put(block, block_sharding)
 
+    def fixed_batches(self, k: int):
+        """Yield the SAME k batches on every call: the first `per_dev`
+        examples of each shard in split order (no shuffle, no rng) —
+        the deterministic fixed sample the in-loop eval compares across
+        epochs (early stopping needs eval noise to come from the model,
+        not the sample). Gathers from the resident pool: zero H2D."""
+        if k * self.per_dev > self.shard:
+            raise ValueError(
+                f"fixed_batches({k}) needs {k * self.per_dev} examples per "
+                f"shard but shards hold {self.shard}")
+        for b in range(k):
+            idx = np.tile(
+                np.arange(b * self.per_dev, (b + 1) * self.per_dev,
+                          dtype=np.int32), self.local_data)
+            idx = self._put(idx, self._idx_sharding)
+            yield self._gather(self.pool_img, self.pool_dep, idx)
+
     def close(self):
         """Free the HBM pool (DeviceFeed API compatibility)."""
         self.pool_img.delete()

@@ -366,6 +366,7 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         from ann3depth_tpu.utils.tb_writer import TensorBoardWriter
         tb = TensorBoardWriter(os.path.join(workdir, "tb"))
     eval_ds = None  # built lazily at the first eval point
+    eval_pool = None  # HBM-resident eval pool (cache-device runs)
     sharding = meshlib.batch_sharding(mesh)
     if nproc > 1:
         # multi-process jit rejects process-local arrays; the key must be
@@ -578,11 +579,30 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             if cfg.train.eval_every and (step_no + 1) % cfg.train.eval_every == 0:
                 if eval_ds is None:
                     eval_ds = build_dataset(cfg, "test")
+                    if cfg.data.cache_device:
+                        # cache-device runs score the in-loop sample from
+                        # an HBM-resident EVAL pool too: staged once, zero
+                        # H2D per eval (the convergence-study recipe,
+                        # promoted). Tiny/indivisible splits fall back to
+                        # the host feed with a note.
+                        from ann3depth_tpu.pipeline.device_cache import (
+                            DevicePoolSampler)
+                        try:
+                            eval_pool = DevicePoolSampler(
+                                eval_ds, cfg.train.batch_size, mesh,
+                                steps=0, seed=cfg.train.seed)
+                            _ = list(eval_pool.fixed_batches(4))  # validate
+                        except ValueError as e:
+                            log.info("in-loop eval uses the host feed "
+                                     "(%s)", e)
+                            eval_pool = None
                 # In-loop eval is a SAMPLE (4 batches), not the full split;
                 # eval_batches in the record keeps it distinguishable from
                 # the CLI's full-split numbers in convergence studies.
                 em = evaluate(cfg, state=state, dataset=eval_ds,
-                              max_batches=4, mesh=mesh)
+                              max_batches=4, mesh=mesh,
+                              device_batches=(eval_pool.fixed_batches(4)
+                                              if eval_pool else None))
                 if writer is not None:
                     writer.write(step_no + 1,
                                  {**{f"eval_{k}": v for k, v in em.items()},
@@ -653,6 +673,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     finally:
         if profiling:  # loop exited inside the trace window
             jax.profiler.stop_trace()
+        if eval_pool is not None:
+            eval_pool.close()
         feed.close()
         ckpt.wait()
         ckpt.close()
@@ -689,7 +711,8 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
 
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
              mesh=None, use_ema=False, report_dir=None, report_worst=8,
-             ckpt_step=None, tta="", avg_last=None, align="", crop=""):
+             ckpt_step=None, tta="", avg_last=None, align="", crop="",
+             device_batches=None):
     """Eval loop: accumulate global sufficient statistics over the test
     split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
     error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
@@ -719,7 +742,13 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     num_workers apply to the TRAINING feed only. The numbers are
     identical either way (same decode, same order); grain's worker
     processes only buy overlap for the shuffled steady-state train loop,
-    which a sequential one-pass eval doesn't have."""
+    which a sequential one-pass eval doesn't have.
+
+    device_batches: an iterable of (img_u8, depth) arrays ALREADY on
+    device (e.g. DevicePoolSampler.fixed_batches) — skips the host feed
+    and its H2D entirely; the in-loop eval of a --cache-device run uses
+    this to score from an HBM-resident eval pool. Exclusive with
+    report_dir (the report ranks the full split in split order)."""
     from ann3depth_tpu.train import losses
 
     dataset = dataset or build_dataset(cfg, "test")
@@ -728,6 +757,9 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
         raise ValueError("eval report is single-process only (the full "
                          "split must rank in one place); run eval without "
                          "--multihost")
+    if device_batches is not None and report_dir is not None:
+        raise ValueError("device_batches is a fixed pool sample; the "
+                         "report path needs the full split in split order")
     if mesh is None:
         mesh = meshlib.auto_data_mesh(cfg.train.batch_size)
     sharding = meshlib.batch_sharding(mesh)
@@ -780,10 +812,16 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
                    tta=tta, align=align, crop=crop)
     totals = {}
     rows, worst = [], []  # report mode: per-image rows + worst-K heap
-    for b, (img_u8, depth) in enumerate(
-            dataset.batches(eval_batch_size, steps=max_batches,
-                            shuffle=False)):
-        if nproc > 1:
+    if device_batches is not None:
+        batch_iter = ((img, dep, True) for img, dep in device_batches)
+    else:
+        batch_iter = ((img, dep, False) for img, dep in
+                      dataset.batches(eval_batch_size, steps=max_batches,
+                                      shuffle=False))
+    for b, (img_u8, depth, on_device) in enumerate(batch_iter):
+        if on_device:
+            pass  # already placed (and globally sharded) by the pool
+        elif nproc > 1:
             from ann3depth_tpu.parallel import multihost
             img_u8, depth = multihost.global_batch_from_local(
                 (img_u8, depth), sharding)

@@ -116,3 +116,60 @@ def test_cache_device_rejects_grain_combo(tmp_path):
                                   ckpt_dir=str(tmp_path / "c")))
     with pytest.raises(ValueError, match="exclusive"):
         looplib.train(cfg, workdir=str(tmp_path / "w"), progress=False)
+
+
+def test_fixed_batches_deterministic_and_matches_host_eval(tmp_path):
+    """fixed_batches yields the SAME batches every call (the in-loop eval's
+    fixed sample), and on a single-device mesh the device-resident eval
+    equals the host-fed eval bitwise (identical examples, identical
+    program)."""
+    import jax
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.parallel import mesh as meshlib
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=4))
+    mesh = meshlib.create_mesh([jax.devices()[0]])
+    ds = SyntheticDepthDataset(n=16, img_hw=cfg.data.input_hw,
+                               depth_hw=(cfg.data.input_hw[0] // 2,
+                                         cfg.data.input_hw[1] // 2))
+    sampler = DevicePoolSampler(ds, 4, mesh, steps=0, seed=0)
+    a = [jax.device_get(img) for img, _ in sampler.fixed_batches(2)]
+    b = [jax.device_get(img) for img, _ in sampler.fixed_batches(2)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+    state = looplib.create_state(cfg, mesh)
+    host = looplib.evaluate(cfg, state=state, dataset=ds, max_batches=2,
+                            mesh=mesh)
+    dev = looplib.evaluate(cfg, state=state, dataset=ds, max_batches=2,
+                           mesh=mesh,
+                           device_batches=sampler.fixed_batches(2))
+    assert host == dev
+    sampler.close()
+
+
+def test_inloop_eval_uses_device_pool_on_cache_device(tmp_path, cpu_mesh):
+    """A --cache-device run with eval_every writes in-loop eval rows
+    scored from the resident eval pool (and tiny splits fall back to the
+    host feed without failing the run)."""
+    import json
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, cache_device=True),
+        train=dataclasses.replace(
+            cfg.train, steps=4, batch_size=8, eval_every=2, log_every=2,
+            checkpoint_every=4, ckpt_dir=str(tmp_path / "c")))
+    looplib.train(cfg, workdir=str(tmp_path / "w"), progress=False)
+    rows = [json.loads(l) for l in open(tmp_path / "w" / "metrics.jsonl")]
+    evals = [r for r in rows if "eval_rmse" in r]
+    assert [r["step"] for r in evals] == [2, 4]
+    assert all(np.isfinite(r["eval_rmse"]) for r in evals)
