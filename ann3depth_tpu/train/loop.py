@@ -748,7 +748,18 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     device (e.g. DevicePoolSampler.fixed_batches) — skips the host feed
     and its H2D entirely; the in-loop eval of a --cache-device run uses
     this to score from an HBM-resident eval pool. Exclusive with
-    report_dir (the report ranks the full split in split order)."""
+    report_dir (the report ranks the full split in split order).
+
+    cfg.data.cache_device (CLI `eval --cache-device`): stages the test
+    split into HBM once and evaluates from the pool — one H2D of the raw
+    split instead of one per batch (through this environment's tunnel:
+    the 134-image Make3D eval drops from minutes of per-batch transfers
+    to one staging pass). Metrics are order-invariant global sums, so
+    the pool's per-shard iteration changes nothing on one device; on a
+    multi-device mesh the remainder trim is per-shard rather than
+    global-tail (same dropped count, different examples — noted here,
+    not silent). Skipped under report_dir / multihost / tiny splits
+    (loud log), where the host path runs instead."""
     from ann3depth_tpu.train import losses
 
     dataset = dataset or build_dataset(cfg, "test")
@@ -810,6 +821,21 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
                    si_lambda=cfg.train.si_lambda,
                    use_pallas=_use_pallas(cfg), loss_kind=cfg.train.loss,
                    tta=tta, align=align, crop=crop)
+    own_pool = None
+    if (device_batches is None and cfg.data.cache_device
+            and report_dir is None and nproc == 1):
+        from ann3depth_tpu.pipeline.device_cache import DevicePoolSampler
+        try:
+            own_pool = DevicePoolSampler(dataset, eval_batch_size, mesh,
+                                         steps=0, seed=0)
+            n_b = own_pool.shard // own_pool.per_dev
+            if max_batches is not None:
+                n_b = min(n_b, max_batches)
+            device_batches = own_pool.fixed_batches(n_b)
+        except ValueError as e:
+            log.info("eval uses the host feed (%s)", e)
+            own_pool = None
+
     totals = {}
     rows, worst = [], []  # report mode: per-image rows + worst-K heap
     if device_batches is not None:
@@ -871,6 +897,8 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     if not totals:
         raise ValueError("eval split yielded no batches")
     totals = {k: float(v) for k, v in jax.device_get(totals).items()}
+    if own_pool is not None:
+        own_pool.close()
     metrics = losses.finalize_depth_metrics(totals)
     if report_dir is not None:
         _write_eval_report(report_dir, rows, worst, metrics)

@@ -173,3 +173,28 @@ def test_inloop_eval_uses_device_pool_on_cache_device(tmp_path, cpu_mesh):
     evals = [r for r in rows if "eval_rmse" in r]
     assert [r["step"] for r in evals] == [2, 4]
     assert all(np.isfinite(r["eval_rmse"]) for r in evals)
+
+
+def test_cli_eval_cache_device_equals_host_eval(tmp_path):
+    """`eval --cache-device`: evaluate() stages its own pool and must
+    reproduce the host-fed metrics exactly on a single-device mesh
+    (same examples, same order, same program)."""
+    import jax
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.parallel import mesh as meshlib
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=4))
+    mesh = meshlib.create_mesh([jax.devices()[0]])
+    ds = SyntheticDepthDataset(n=12, img_hw=cfg.data.input_hw,
+                               depth_hw=(cfg.data.input_hw[0] // 2,
+                                         cfg.data.input_hw[1] // 2))
+    state = looplib.create_state(cfg, mesh)
+    host = looplib.evaluate(cfg, state=state, dataset=ds, mesh=mesh)
+    cfg_cd = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, cache_device=True))
+    dev = looplib.evaluate(cfg_cd, state=state, dataset=ds, mesh=mesh)
+    assert host == dev
