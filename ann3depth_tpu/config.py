@@ -261,6 +261,20 @@ PRESETS = {
         model={"name": "encdec", "width_mult": 2.0},
         train={"batch_size": 64, "loss": "si+grad"},
     ),
+    # Best-measured DPT quality recipe (r4, benchmarks/exp_dpt_levers.py
+    # 2x2 grid on trained weights): `--loss si+grad` is the one training
+    # lever that pays on DPT at the 2500-step protocol (-2.71% eval RMSE;
+    # -4.57% with the eval-side `--tta flip`). Augmentation did NOT
+    # compose at that budget (still paying its convergence tax — add it
+    # back on long real-data schedules). b16 stays the throughput winner.
+    "dpt-384-best": _cfg(
+        data={
+            "datasets": ("nyu",),
+            "input_hw": (ref.DPT_RES, ref.DPT_RES),
+        },
+        model={"name": "dpt"},
+        train={"batch_size": 16, "loss": "si+grad"},
+    ),
     # Throughput preset (BASELINE.md batch-ladder row): XLA picks a
     # distinctly better conv tiling at b128 — train MFU 0.473 / 11.8k
     # img/s vs 0.335 / 8.3k at the b16 parity point. For

@@ -72,6 +72,12 @@ def test_best_and_throughput_presets():
     assert b128.train.batch_size == 128
     assert b128.model.width_mult == 1.0  # parity-width model
 
+    dpt_best = get_config("dpt-384-best")
+    assert dpt_best.model.name == "dpt"
+    assert dpt_best.train.loss == "si+grad"
+    assert dpt_best.data.augment is False  # didn't compose at 2500 steps
+    assert dpt_best.train.batch_size == 16
+
 
 def test_cli_preprocess_impl_flag():
     from ann3depth_tpu.cli import build_parser, _resolve
