@@ -59,6 +59,14 @@ synth-data:
 prepare:
 	$(PY) -m ann3depth_tpu prepare --dataset make3d --data-dir $(DATA_DIR) --split train
 	$(PY) -m ann3depth_tpu prepare --dataset make3d --data-dir $(DATA_DIR) --split test
+	$(PY) -m ann3depth_tpu prepare --dataset nyu --data-dir $(DATA_DIR) --split train
+	$(PY) -m ann3depth_tpu prepare --dataset nyu --data-dir $(DATA_DIR) --split test
 
 # Full offline dress rehearsal: synth -> verify/extract -> pack records.
-rehearsal: synth-data download-make3d download-nyu prepare
+# Sequential sub-makes, NOT prerequisites: download needs synth's archives
+# already staged, so `make -j` must not run them concurrently.
+rehearsal:
+	$(MAKE) synth-data
+	$(MAKE) download-make3d
+	$(MAKE) download-nyu
+	$(MAKE) prepare

@@ -125,6 +125,7 @@ class DevicePoolSampler:
                 f"the {byte_budget / 1e9:.1f} GB device-cache budget; drop "
                 "--cache-device for this dataset")
         self.n = n
+        self.nbytes = nbytes  # per-process raw pool bytes (budget math)
         self.shard = n // self.n_data
         self.per_dev = batch_size // self.n_data
         # The hazard iter_batches guards with the same error: a batch that

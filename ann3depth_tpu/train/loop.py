@@ -586,12 +586,24 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                         # promoted). Tiny/indivisible splits fall back to
                         # the host feed with a note.
                         from ann3depth_tpu.pipeline.device_cache import (
-                            DevicePoolSampler)
+                            DEFAULT_BYTE_BUDGET, DevicePoolSampler)
                         try:
+                            # The train pool is already resident: the eval
+                            # pool gets the REMAINING budget, not a fresh
+                            # 8 GB (combined residency is what OOMs).
                             eval_pool = DevicePoolSampler(
                                 eval_ds, cfg.train.batch_size, mesh,
-                                steps=0, seed=cfg.train.seed)
-                            _ = list(eval_pool.fixed_batches(4))  # validate
+                                steps=0, seed=cfg.train.seed,
+                                byte_budget=max(
+                                    0, DEFAULT_BYTE_BUDGET
+                                    - getattr(feed, "nbytes", 0)))
+                            # size check only — no throwaway gathers
+                            if 4 * eval_pool.per_dev > eval_pool.shard:
+                                eval_pool.close()
+                                raise ValueError(
+                                    f"eval split too small for a 4-batch "
+                                    f"fixed sample at batch_size="
+                                    f"{cfg.train.batch_size}")
                         except ValueError as e:
                             log.info("in-loop eval uses the host feed "
                                      "(%s)", e)
@@ -599,8 +611,11 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                 # In-loop eval is a SAMPLE (4 batches), not the full split;
                 # eval_batches in the record keeps it distinguishable from
                 # the CLI's full-split numbers in convergence studies.
+                # stage_pool=False: THIS loop owns pooling; when eval_pool
+                # is None the fallback must be the host feed, not a fresh
+                # full-split staging inside evaluate() at every eval point.
                 em = evaluate(cfg, state=state, dataset=eval_ds,
-                              max_batches=4, mesh=mesh,
+                              max_batches=4, mesh=mesh, stage_pool=False,
                               device_batches=(eval_pool.fixed_batches(4)
                                               if eval_pool else None))
                 if writer is not None:
@@ -712,7 +727,7 @@ def _write_viz(cfg: Config, state, dataset, workdir, step, tb=None):
 def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
              mesh=None, use_ema=False, report_dir=None, report_worst=8,
              ckpt_step=None, tta="", avg_last=None, align="", crop="",
-             device_batches=None):
+             device_batches=None, stage_pool=True):
     """Eval loop: accumulate global sufficient statistics over the test
     split, finalize once [B:2]. Dataset RMSE is sqrt of the mean squared
     error over ALL valid pixels (reference_spec.EVAL_ACCUMULATION); the
@@ -822,19 +837,23 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
                    use_pallas=_use_pallas(cfg), loss_kind=cfg.train.loss,
                    tta=tta, align=align, crop=crop)
     own_pool = None
-    if (device_batches is None and cfg.data.cache_device
-            and report_dir is None and nproc == 1):
-        from ann3depth_tpu.pipeline.device_cache import DevicePoolSampler
-        try:
-            own_pool = DevicePoolSampler(dataset, eval_batch_size, mesh,
-                                         steps=0, seed=0)
-            n_b = own_pool.shard // own_pool.per_dev
-            if max_batches is not None:
-                n_b = min(n_b, max_batches)
-            device_batches = own_pool.fixed_batches(n_b)
-        except ValueError as e:
-            log.info("eval uses the host feed (%s)", e)
-            own_pool = None
+    if device_batches is None and cfg.data.cache_device and stage_pool:
+        if report_dir is not None or nproc > 1:
+            log.info("eval --cache-device skipped: %s needs the host feed "
+                     "(full split in split order / per-process shards)",
+                     "report_dir" if report_dir is not None else "multihost")
+        else:
+            from ann3depth_tpu.pipeline.device_cache import DevicePoolSampler
+            try:
+                own_pool = DevicePoolSampler(dataset, eval_batch_size, mesh,
+                                             steps=0, seed=0)
+                n_b = own_pool.shard // own_pool.per_dev
+                if max_batches is not None:
+                    n_b = min(n_b, max_batches)
+                device_batches = own_pool.fixed_batches(n_b)
+            except ValueError as e:
+                log.info("eval uses the host feed (%s)", e)
+                own_pool = None
 
     totals = {}
     rows, worst = [], []  # report mode: per-image rows + worst-K heap

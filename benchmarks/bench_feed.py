@@ -139,12 +139,14 @@ def bench_link(batch_size: int, reps: int = 6) -> dict:
     batches = [
         (rng.integers(0, 256, shape_x, dtype=np.uint8),
          rng.uniform(1.0, 70.0, shape_d).astype(np.float32))
-        for _ in range(reps)]
+        for _ in range(reps + 1)]  # +1: a dedicated warmup array so the
+    # first TIMED rep isn't a re-send of already-transferred bytes
     nbytes = batches[0][0].nbytes + batches[0][1].nbytes
     dev = jax.devices()[0]
     consume = jax.jit(
         lambda a, b: a.astype(jnp.float32).sum() + b.sum())
     float(consume(*jax.device_put(batches[0], dev)))  # warm compile+path
+    batches = batches[1:]
     t0 = time.perf_counter()
     for xb, db in batches:
         float(consume(*jax.device_put((xb, db), dev)))
