@@ -15,12 +15,18 @@ shard (shard-local shuffling — the standard sharded-dataset DP recipe;
 the gather stays local via shard_map, no collectives). Statistically this
 is per-epoch shuffling within fixed shards rather than a global shuffle.
 
-Multi-host (r3): each process stages only its contiguous block of the
-(globally trimmed) dataset into its own devices' shards via
-`jax.make_array_from_process_local_data`, and generates per-step indices
-for its local shards only — the gather program is one global jit like the
-train step. Pass the FULL dataset, not a ProcessShardView; the sampler
-owns the process partition.
+Multi-host (r3): each process stages only its own devices' shards and
+generates per-step indices for its local shards only — the gather program
+is one global jit like the train step. Pass the FULL dataset, not a
+ProcessShardView; the sampler owns the process partition.
+
+Staging is host-RAM-bounded (r4): rather than materializing the full pool
+on the host before one device_put (peak host RSS ~= pool bytes — the
+true-scale rehearsal measured ~3.8 GB host for a 1.56 GB pool), rows are
+streamed per shard in <=STAGE_CHUNK_BYTES chunks into donated on-device
+buffers, then assembled into the global sharded array via
+`jax.make_array_from_single_device_arrays`. Host peak is one chunk; a
+pool near the 8 GB HBM budget no longer needs 8 GB of host RAM.
 
 Selected with DataConfig.cache_device / --cache-device. Falls back loudly
 if the dataset exceeds the HBM budget.
@@ -42,6 +48,10 @@ log = logging.getLogger(__name__)
 
 # Leave headroom for params/activations/XLA scratch.
 DEFAULT_BYTE_BUDGET = 8 << 30
+
+# Host-RAM bound for pool staging: rows are decoded and transferred in
+# chunks of at most this many bytes (see _stage_pools).
+STAGE_CHUNK_BYTES = 256 << 20
 
 
 def stack_dataset(dataset):
@@ -67,19 +77,90 @@ def stack_dataset(dataset):
     return imgs, deps
 
 
-class _BlockView:
-    """Contiguous [start, start+count) window of a dataset — the per-process
-    staging block (make_array_from_process_local_data concatenates process
-    contributions in process order, so any disjoint partition is valid)."""
+def _stage_pools(dataset, n, sharding, img0, dep0, chunk_bytes):
+    """Stream dataset rows [0, n) into HBM as two sharded pool arrays
+    without ever materializing a full field on the host.
 
-    def __init__(self, dataset, start, count):
-        self._ds, self._start, self._count = dataset, start, count
+    The sharding's `devices_indices_map` is the authoritative row->device
+    assignment (correct for any mesh layout, replicas included — a model/tp
+    axis makes several devices hold the SAME row-slice; they are grouped so
+    each row is decoded from the dataset exactly once). Per shard, rows are
+    read in <=chunk_bytes host chunks, device_put to each replica device,
+    and written into a donated on-device buffer via dynamic_update_slice:
+    host peak = one chunk, per-device peak = shard + chunk. Each process
+    stages only its addressable shards (no collectives, multihost-safe)."""
+    from functools import partial
 
-    def __len__(self):
-        return self._count
+    from jax.sharding import SingleDeviceSharding
 
-    def __getitem__(self, i):
-        return self._ds[self._start + i]
+    pid = jax.process_index()
+    gshape_img = (n, *img0.shape)
+    gshape_dep = (n, *dep0.shape)
+    groups = {}
+    for dev, idx in sharding.devices_indices_map(gshape_img).items():
+        if dev.process_index != pid:
+            continue
+        r = idx[0]
+        key = (r.start or 0, n if r.stop is None else r.stop)
+        groups.setdefault(key, []).append(dev)
+
+    chunk_n = max(1, int(chunk_bytes // (img0.nbytes + dep0.nbytes)))
+    upd = jax.jit(
+        lambda buf, chunk, start: jax.lax.dynamic_update_slice(
+            buf, chunk, (start,) + (0,) * (buf.ndim - 1)),
+        donate_argnums=0)
+
+    img_bufs, dep_bufs = [], []
+    for (start, stop), devs in sorted(groups.items()):
+        rows = stop - start
+        bufs = {}
+        for dev in devs:
+            sds = SingleDeviceSharding(dev)
+            bufs[dev] = (
+                jax.jit(partial(jnp.zeros, (rows, *img0.shape),
+                                img0.dtype), out_shardings=sds)(),
+                jax.jit(partial(jnp.zeros, (rows, *dep0.shape),
+                                dep0.dtype), out_shardings=sds)())
+        pending = None
+        for a in range(0, rows, chunk_n):
+            b = min(rows, a + chunk_n)
+            ci = np.empty((b - a, *img0.shape), img0.dtype)
+            cd = np.empty((b - a, *dep0.shape), dep0.dtype)
+            for j in range(a, b):
+                im, de = dataset[start + j]
+                if (np.shape(im) != img0.shape
+                        or np.shape(de) != dep0.shape):
+                    raise ValueError(
+                        "device cache needs uniform example shapes — pack "
+                        "the dataset first (`prepare` subcommand) or drop "
+                        "--cache-device")
+                ci[j - a], cd[j - a] = im, de
+            # Backpressure: async device_puts queue host-side copies in the
+            # transport with no bound — without this sync, every chunk of a
+            # multi-GB pool sits buffered at once and the host peak equals
+            # the pool again (measured: VmHWM 4.4 GB for a 1.56 GB pool).
+            # device_get of one element forces the PREVIOUS chunk's update
+            # (and thus its transfer) to complete, so at most two chunks are
+            # in flight — and this chunk's decode overlapped that transfer.
+            # (block_until_ready acks at dispatch on this backend; only a
+            # device_get is a true barrier — see utils/tracing.)
+            if pending is not None:
+                for buf in pending:
+                    jax.device_get(buf[(0,) * buf.ndim])
+            off = np.int32(a)
+            for dev in devs:
+                bi, bd = bufs[dev]
+                bufs[dev] = (upd(bi, jax.device_put(ci, dev), off),
+                             upd(bd, jax.device_put(cd, dev), off))
+            pending = [x for pair in bufs.values() for x in pair]
+        for dev in devs:
+            bi, bd = bufs[dev]
+            img_bufs.append(bi)
+            dep_bufs.append(bd)
+    return (jax.make_array_from_single_device_arrays(
+                gshape_img, sharding, img_bufs),
+            jax.make_array_from_single_device_arrays(
+                gshape_dep, sharding, dep_bufs))
 
 
 class DevicePoolSampler:
@@ -88,7 +169,8 @@ class DevicePoolSampler:
     iteration contract (the train loop's `for (img, dep) in feed`)."""
 
     def __init__(self, dataset, batch_size, mesh, *, steps=None, seed=0,
-                 byte_budget=DEFAULT_BYTE_BUDGET):
+                 byte_budget=DEFAULT_BYTE_BUDGET,
+                 stage_chunk_bytes=STAGE_CHUNK_BYTES):
         self.n_data = mesh.shape.get(meshlib.DATA_AXIS, 1)
         nproc = jax.process_count()
         pid = jax.process_index()
@@ -116,9 +198,11 @@ class DevicePoolSampler:
             raise ValueError(
                 f"dataset n={len(dataset)} is too small for "
                 f"{self.n_data}-way sharding")
-        n_local = n // nproc
-        img, dep = stack_dataset(_BlockView(dataset, pid * n_local, n_local))
-        nbytes = img.nbytes + dep.nbytes
+        img0, dep0 = dataset[0]
+        img0, dep0 = np.asarray(img0), np.asarray(dep0)
+        # n divides by n_data, n_data by nproc -> every process stages
+        # exactly n/nproc rows; uniform shapes are enforced at staging.
+        nbytes = (n // nproc) * (img0.nbytes + dep0.nbytes)
         if nbytes > byte_budget:
             raise ValueError(
                 f"dataset is {nbytes / 1e9:.1f} GB raw per process — over "
@@ -145,8 +229,8 @@ class DevicePoolSampler:
         self._rng = np.random.default_rng(seed + 1000003 * pid)
 
         sharding = meshlib.batch_sharding(mesh)
-        self.pool_img = self._put(img, sharding)
-        self.pool_dep = self._put(dep, sharding)
+        self.pool_img, self.pool_dep = _stage_pools(
+            dataset, n, sharding, img0, dep0, stage_chunk_bytes)
         self._idx_sharding = sharding
         self._mesh = mesh
         log.info("device cache: staged %d examples (%.0f MB) across %d "

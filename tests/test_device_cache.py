@@ -198,3 +198,50 @@ def test_cli_eval_cache_device_equals_host_eval(tmp_path):
         cfg, data=dataclasses.replace(cfg.data, cache_device=True))
     dev = looplib.evaluate(cfg_cd, state=state, dataset=ds, mesh=mesh)
     assert host == dev
+
+
+def test_chunked_staging_matches_dataset(cpu_mesh):
+    """Pool contents are exactly dataset rows [0, n) regardless of how many
+    staging chunks the host-RAM bound forces (r4: streamed staging via
+    make_array_from_single_device_arrays replaced the full host stack)."""
+    ds = SyntheticDepthDataset(n=24, img_hw=(16, 16), depth_hw=(8, 8))
+    ex_bytes = ds[0][0].nbytes + ds[0][1].nbytes
+    # 3 examples per chunk -> each 8-device shard (3 rows) needs exactly
+    # one chunk; 1 example per chunk -> 3 chunks per shard incl. the
+    # donated-update path at nonzero offsets.
+    for chunk_bytes in (3 * ex_bytes, ex_bytes):
+        sampler = DevicePoolSampler(ds, 8, cpu_mesh, steps=1, seed=0,
+                                    stage_chunk_bytes=chunk_bytes)
+        img = np.asarray(jax.device_get(sampler.pool_img))
+        dep = np.asarray(jax.device_get(sampler.pool_dep))
+        ref_img = np.stack([ds[i][0] for i in range(24)])
+        ref_dep = np.stack([ds[i][1] for i in range(24)])
+        np.testing.assert_array_equal(img, ref_img)
+        np.testing.assert_array_equal(dep, ref_dep)
+        sampler.close()
+
+
+def test_chunked_staging_matches_dataset_dp_x_tp():
+    """Replica devices (tp axis) hold identical shard content; the global
+    pool still reads back as the dataset in row order."""
+    from ann3depth_tpu.parallel import mesh as meshlib
+
+    mesh = meshlib.create_mesh_2d(4, 2)
+    ds = SyntheticDepthDataset(n=16, img_hw=(16, 16), depth_hw=(8, 8))
+    ex_bytes = ds[0][0].nbytes + ds[0][1].nbytes
+    sampler = DevicePoolSampler(ds, 8, mesh, steps=1, seed=0,
+                                stage_chunk_bytes=2 * ex_bytes)
+    img = np.asarray(jax.device_get(sampler.pool_img))
+    np.testing.assert_array_equal(
+        img, np.stack([ds[i][0] for i in range(16)]))
+    # every addressable shard of a data row is a replica of the same block
+    shards = {}
+    for s in sampler.pool_img.addressable_shards:
+        row = s.index[0].start or 0
+        if row in shards:
+            np.testing.assert_array_equal(np.asarray(s.data),
+                                          shards[row])
+        else:
+            shards[row] = np.asarray(s.data)
+    assert len(shards) == 4  # 4 distinct data rows, each replicated x2
+    sampler.close()
