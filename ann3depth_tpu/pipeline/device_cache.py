@@ -21,12 +21,14 @@ is one global jit like the train step. Pass the FULL dataset, not a
 ProcessShardView; the sampler owns the process partition.
 
 Staging is host-RAM-bounded (r4): rather than materializing the full pool
-on the host before one device_put (peak host RSS ~= pool bytes — the
-true-scale rehearsal measured ~3.8 GB host for a 1.56 GB pool), rows are
-streamed per shard in <=STAGE_CHUNK_BYTES chunks into donated on-device
-buffers, then assembled into the global sharded array via
-`jax.make_array_from_single_device_arrays`. Host peak is one chunk; a
-pool near the 8 GB HBM budget no longer needs 8 GB of host RAM.
+on the host before one device_put, rows are streamed per shard in
+<=STAGE_CHUNK_BYTES chunks into donated on-device buffers, then assembled
+into the global sharded array via
+`jax.make_array_from_single_device_arrays`. Measured on the true-scale
+NYU pool (1.56 GB): peak anonymous host RSS 4.65 GB (full-stack put, pool
++ transport copy) -> 1.94 GB (chunked; process base + ~2 chunks). The
+file-backed residency of memmap'd records (~pool bytes of reclaimable
+page cache) is unchanged and counts in VmHWM but cannot OOM the host.
 
 Selected with DataConfig.cache_device / --cache-device. Falls back loudly
 if the dataset exceeds the HBM budget.
