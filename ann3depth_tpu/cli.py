@@ -83,6 +83,16 @@ def _common_flags(p):
                    help="stage the whole dataset into device HBM once and "
                         "gather batches on device (uniform-shape datasets "
                         "within the HBM budget; see DataConfig)")
+    p.add_argument("--cache-window-mb", type=int, metavar="MB",
+                   help="with --cache-device: rotate fixed-size HBM "
+                        "windows instead of staging the whole dataset — "
+                        "datasets larger than the budget train at device "
+                        "rate; two windows stay resident (active + "
+                        "background-staged next)")
+    p.add_argument("--window-epochs", type=int, metavar="E",
+                   help="data echoing: train E passes over each resident "
+                        "window before rotating (divides host-link "
+                        "bandwidth demand by E; needs --cache-window-mb)")
     p.add_argument("--ckpt-step", type=int, metavar="N",
                    help="use the checkpoint saved at step N instead of "
                         "the latest (eval/infer/live/export/serve; "
@@ -152,6 +162,10 @@ def _resolve(args) -> cfglib.Config:
     if getattr(args, "quant", None): model["quant"] = args.quant
     if getattr(args, "use_grain", False): data["use_grain"] = True
     if getattr(args, "cache_device", False): data["cache_device"] = True
+    if getattr(args, "cache_window_mb", None) is not None:
+        data["cache_window_mb"] = args.cache_window_mb
+    if getattr(args, "window_epochs", None) is not None:
+        data["window_epochs"] = args.window_epochs
     if getattr(args, "num_workers", None):
         data["use_grain"] = True
         data["num_workers"] = args.num_workers

@@ -39,6 +39,15 @@ class DataConfig:
     # ~4 GB; v5e has 16 GB). Multi-device meshes shard the pool and
     # shuffle shard-locally.
     cache_device: bool = False
+    # >0 with cache_device: rotating-window pool for datasets LARGER than
+    # the HBM budget (pipeline/streaming_pool.py) — two window buffers
+    # resident, the next window stages in a background thread while the
+    # active one trains. Window-granular global shuffle per pass.
+    cache_window_mb: int = 0
+    # Data echoing (Choi et al. 2019): train this many shard-local passes
+    # over each window before rotating — divides the host-link bandwidth
+    # demand by the factor. Needs cache_window_mb > 0.
+    window_epochs: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

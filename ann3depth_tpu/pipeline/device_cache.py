@@ -208,8 +208,9 @@ class DevicePoolSampler:
         if nbytes > byte_budget:
             raise ValueError(
                 f"dataset is {nbytes / 1e9:.1f} GB raw per process — over "
-                f"the {byte_budget / 1e9:.1f} GB device-cache budget; drop "
-                "--cache-device for this dataset")
+                f"the {byte_budget / 1e9:.1f} GB device-cache budget; use "
+                "the rotating-window pool (--cache-window-mb, optionally "
+                "--window-epochs) or drop --cache-device")
         self.n = n
         self.nbytes = nbytes  # per-process raw pool bytes (budget math)
         self.shard = n // self.n_data

@@ -139,6 +139,22 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         raise ValueError(
             "cache_device is exclusive with use_grain and multi-dataset "
             "interleave — one resident pool, one source")
+    if cfg.data.cache_window_mb < 0:
+        raise ValueError(
+            f"cache_window_mb must be >= 0, got {cfg.data.cache_window_mb}")
+    if cfg.data.cache_window_mb and not cfg.data.cache_device:
+        raise ValueError(
+            "cache_window_mb configures the rotating-window DEVICE cache — "
+            "add --cache-device (host-fed runs have no resident pool to "
+            "window)")
+    if cfg.data.window_epochs < 1:
+        raise ValueError(
+            f"window_epochs must be >= 1, got {cfg.data.window_epochs}")
+    if cfg.data.window_epochs > 1 and not cfg.data.cache_window_mb:
+        raise ValueError(
+            "window_epochs (data echoing) repeats WINDOW passes — it needs "
+            "--cache-window-mb; a full resident pool already revisits every "
+            "example each epoch")
     spd = cfg.train.steps_per_dispatch
     if spd < 1:
         raise ValueError(f"steps_per_dispatch must be >= 1, got {spd}")
@@ -389,10 +405,20 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     if cfg.data.cache_device:
         # (exclusivity with use_grain/multi-dataset validated up top,
         # before the checkpoint manager/writers hold resources)
-        from ann3depth_tpu.pipeline.device_cache import DevicePoolSampler
-        feed = DevicePoolSampler(dataset, cfg.train.batch_size, mesh,
-                                 steps=n_steps,
-                                 seed=cfg.train.seed + start_step)
+        if cfg.data.cache_window_mb:
+            from ann3depth_tpu.pipeline.streaming_pool import (
+                StreamingPoolSampler)
+            feed = StreamingPoolSampler(
+                dataset, cfg.train.batch_size, mesh,
+                window_bytes=cfg.data.cache_window_mb << 20,
+                window_epochs=cfg.data.window_epochs, steps=n_steps,
+                seed=cfg.train.seed + start_step)
+        else:
+            from ann3depth_tpu.pipeline.device_cache import (
+                DevicePoolSampler)
+            feed = DevicePoolSampler(dataset, cfg.train.batch_size, mesh,
+                                     steps=n_steps,
+                                     seed=cfg.train.seed + start_step)
     elif cfg.data.use_grain:
         from ann3depth_tpu.pipeline.grain_loader import grain_batches
         # feed_batch_size: under multi-host, grain shuffles/batches this

@@ -1,0 +1,187 @@
+"""Rotating-window HBM pool (pipeline/streaming_pool.py): window rotation
+coverage, data-echo semantics, scanned-dispatch composition, and the train
+loop end-to-end on the fake 8-device mesh."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+from ann3depth_tpu.pipeline.streaming_pool import StreamingPoolSampler
+
+
+def _ids(ds, batches):
+    """Map gathered device batches back to dataset indices (exact match)."""
+    all_imgs = np.stack([ds[i][0] for i in range(len(ds))])
+    out = []
+    for img, _ in batches:
+        for row in np.asarray(jax.device_get(img)):
+            (i,) = np.nonzero((all_imgs == row).all(axis=(1, 2, 3)))[0][:1]
+            out.append(int(i))
+    return out
+
+
+def _window_bytes(ds, examples):
+    img0, dep0 = ds[0]
+    return examples * (img0.nbytes + dep0.nbytes)
+
+
+def test_one_pass_covers_dataset_exactly_once(cpu_mesh):
+    ds = SyntheticDepthDataset(n=32, img_hw=(16, 16), depth_hw=(8, 8))
+    sampler = StreamingPoolSampler(
+        ds, 8, cpu_mesh, window_bytes=_window_bytes(ds, 16), steps=None,
+        seed=0)
+    assert sampler.win == 16 and sampler.windows_per_pass == 2
+    ids = _ids(ds, list(sampler))
+    sampler.close()
+    # one pass: 2 windows x 2 steps x 8 examples = every example once
+    assert sorted(ids) == list(range(32))
+
+
+def test_echo_repeats_each_window_example_e_times(cpu_mesh):
+    ds = SyntheticDepthDataset(n=32, img_hw=(16, 16), depth_hw=(8, 8))
+    sampler = StreamingPoolSampler(
+        ds, 8, cpu_mesh, window_bytes=_window_bytes(ds, 16),
+        window_epochs=3, steps=None, seed=0)
+    assert sampler.steps_per_window == 6
+    batches = list(sampler)
+    ids = _ids(ds, batches)
+    sampler.close()
+    assert len(ids) == 2 * 3 * 16  # 2 windows x 3 echo epochs x 16
+    counts = np.bincount(ids, minlength=32)
+    assert (counts == 3).all(), "echoing must repeat every example E times"
+    # within ONE window visit (first 6 batches = 48 rows): 16 distinct
+    # examples, each exactly 3 times — the echo repeats the WINDOW, it
+    # does not leak into the next one
+    first = _ids(ds, batches[:6])
+    assert len(set(first)) == 16
+    assert all(first.count(i) == 3 for i in set(first))
+
+
+def test_fresh_permutation_each_pass(cpu_mesh):
+    """Two passes re-draw the window partition: with n % win == 0 both
+    passes cover everything, but the window contents differ."""
+    ds = SyntheticDepthDataset(n=32, img_hw=(16, 16), depth_hw=(8, 8))
+    sampler = StreamingPoolSampler(
+        ds, 8, cpu_mesh, window_bytes=_window_bytes(ds, 16), steps=8,
+        seed=0)
+    batches = list(sampler)
+    sampler.close()
+    assert len(batches) == 8  # 2 passes x 2 windows x 2 steps
+    pass1, pass2 = _ids(ds, batches[:4]), _ids(ds, batches[4:])
+    assert sorted(pass1) == sorted(pass2) == list(range(32))
+    w1_first = set(_ids(ds, batches[:2]))  # pass-1 window 0
+    w2_first = set(_ids(ds, batches[4:6]))  # pass-2 window 0
+    assert w1_first != w2_first, "passes must re-shuffle the windows"
+
+
+def test_index_blocks_matches_iter_stream(cpu_mesh):
+    ds = SyntheticDepthDataset(n=32, img_hw=(16, 16), depth_hw=(8, 8))
+    kw = dict(window_bytes=_window_bytes(ds, 16), steps=8, seed=7)
+    ref = StreamingPoolSampler(ds, 8, cpu_mesh, **kw)
+    got_iter = [np.asarray(jax.device_get(img)) for img, _ in ref]
+    ref.close()
+
+    spd = StreamingPoolSampler(ds, 8, cpu_mesh, **kw)
+    got_blocks = []
+    for block in spd.index_blocks(2):
+        block_h = np.asarray(jax.device_get(block))
+        for j in range(block_h.shape[0]):
+            idx = jax.device_put(block_h[j], spd._sharding)
+            img, _ = spd.gather_fn(spd.pool_img, spd.pool_dep, idx)
+            got_blocks.append(np.asarray(jax.device_get(img)))
+    spd.close()
+    assert len(got_iter) == len(got_blocks) == 8
+    for a, b in zip(got_iter, got_blocks):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_index_blocks_rejects_window_spanning_k(cpu_mesh):
+    ds = SyntheticDepthDataset(n=32, img_hw=(16, 16), depth_hw=(8, 8))
+    sampler = StreamingPoolSampler(
+        ds, 8, cpu_mesh, window_bytes=_window_bytes(ds, 16), steps=8,
+        seed=0)
+    with pytest.raises(ValueError, match="divide the window"):
+        next(sampler.index_blocks(3))  # steps_per_window == 2
+    sampler.close()
+
+
+def test_validation_errors(cpu_mesh):
+    ds = SyntheticDepthDataset(n=32, img_hw=(16, 16), depth_hw=(8, 8))
+    wb = _window_bytes(ds, 16)
+    with pytest.raises(ValueError, match="plain --cache-device"):
+        StreamingPoolSampler(ds, 8, cpu_mesh,
+                             window_bytes=_window_bytes(ds, 32))
+    with pytest.raises(ValueError, match="smaller than one"):
+        StreamingPoolSampler(ds, 8, cpu_mesh,
+                             window_bytes=_window_bytes(ds, 4))
+    with pytest.raises(ValueError, match="budget"):
+        StreamingPoolSampler(ds, 8, cpu_mesh, window_bytes=wb,
+                             byte_budget=wb)  # needs 2x window
+    with pytest.raises(ValueError, match="window_epochs"):
+        StreamingPoolSampler(ds, 8, cpu_mesh, window_bytes=wb,
+                             window_epochs=0)
+
+
+def _smoke_cfg(tmp_path, **train_over):
+    from ann3depth_tpu.config import get_config
+
+    cfg = get_config("smoke")
+    train = dict(steps=8, batch_size=8, ckpt_dir=str(tmp_path / "c"),
+                 checkpoint_every=8, log_every=4)
+    train.update(train_over)
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, cache_device=True,
+                                 cache_window_mb=1, window_epochs=2),
+        train=dataclasses.replace(cfg.train, **train))
+
+
+def test_train_loop_streaming_smoke(tmp_path, cpu_mesh):
+    """End-to-end: loop.train with the rotating window + echo. smoke's
+    synthetic set is 64 x 48 KB = 3 MB; 1 MB windows (16 examples, 4
+    windows/pass) force rotation."""
+    from ann3depth_tpu.train import loop as looplib
+
+    ds = SyntheticDepthDataset(n=64)  # 48 KB/example -> 3 MB dataset
+    cfg = _smoke_cfg(tmp_path)
+    state, metrics = looplib.train(cfg, workdir=str(tmp_path / "w"),
+                                   dataset=ds, progress=False)
+    assert int(state.step) == 8
+    assert np.isfinite(metrics["loss"])
+
+
+def test_train_loop_streaming_with_scan_dispatch(tmp_path, cpu_mesh):
+    """--steps-per-dispatch composes: same seed => same sampling stream =>
+    the scanned-block run reproduces the per-step run's params."""
+    from ann3depth_tpu.train import loop as looplib
+
+    ds = SyntheticDepthDataset(n=64)
+    cfg1 = _smoke_cfg(tmp_path / "a")
+    s1, _ = looplib.train(cfg1, workdir=str(tmp_path / "a" / "w"),
+                          dataset=ds, progress=False)
+    cfg2 = _smoke_cfg(tmp_path / "b", steps_per_dispatch=2)
+    s2, _ = looplib.train(cfg2, workdir=str(tmp_path / "b" / "w"),
+                          dataset=ds, progress=False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+        jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+def test_loop_validates_window_flags(tmp_path):
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    bad = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, cache_window_mb=4))
+    with pytest.raises(ValueError, match="cache-device"):
+        looplib.train(bad, workdir=str(tmp_path / "w"), progress=False)
+    bad = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, cache_device=True,
+                                      window_epochs=2))
+    with pytest.raises(ValueError, match="window_epochs"):
+        looplib.train(bad, workdir=str(tmp_path / "w"), progress=False)
