@@ -34,6 +34,12 @@ elif mode == "cache_spd":
     # index_blocks assembles the [K, local] block via
     # make_array_from_process_local_data, run_block is one global jit.
     data = dataclasses.replace(data, cache_device=True)
+elif mode == "stream":
+    # rotating-window pool across two controllers: both draw the SAME
+    # window permutation (shared seed), stage only their own devices'
+    # shard of each window, echo locally
+    data = dataclasses.replace(data, cache_device=True, cache_window_mb=1,
+                               window_epochs=2)
 elif mode == "grain":
     data = dataclasses.replace(data, use_grain=True)
 elif mode == "multi":
@@ -182,12 +188,14 @@ def test_cluster_kill_then_resume(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["cache", "grain", "multi"])
+@pytest.mark.parametrize("mode", ["cache", "stream", "grain", "multi"])
 def test_two_process_training_feed_paths(tmp_path, mode):
     """The r3-wired multi-host feed paths: HBM-resident device cache
-    (per-process pool staging), grain (per-process shard shuffling), and
-    multi-dataset interleave (aligned source rotation) — each trains
-    lockstep with bitwise-identical replicated losses."""
+    (per-process pool staging), the r4 rotating-window pool (shared
+    window permutation, per-process shard staging + local echo), grain
+    (per-process shard shuffling), and multi-dataset interleave (aligned
+    source rotation) — each trains lockstep with bitwise-identical
+    replicated losses."""
     _run_two_process(tmp_path, mode)
 
 
