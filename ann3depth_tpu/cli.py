@@ -22,6 +22,14 @@ import sys
 from ann3depth_tpu import config as cfglib
 
 
+def _window_epochs(v: str) -> int:
+    """--window-epochs value: an int, or 'auto' (-> 0, the config
+    sentinel for measured calibration — train/loop.py)."""
+    if v == "auto":
+        return 0
+    return int(v)
+
+
 def _common_flags(p):
     p.add_argument("--config", default="make3d-encdec",
                    choices=sorted(cfglib.PRESETS), help="named preset [B:6-12]")
@@ -89,10 +97,13 @@ def _common_flags(p):
                         "datasets larger than the budget train at device "
                         "rate; two windows stay resident (active + "
                         "background-staged next)")
-    p.add_argument("--window-epochs", type=int, metavar="E",
+    p.add_argument("--window-epochs", type=_window_epochs, metavar="E",
                    help="data echoing: train E passes over each resident "
                         "window before rotating (divides host-link "
-                        "bandwidth demand by E; needs --cache-window-mb)")
+                        "bandwidth demand by E; needs --cache-window-mb). "
+                        "'auto' calibrates E from one measured window "
+                        "staging + one training pass (logged; pin the "
+                        "printed value for reproducible resumes)")
     p.add_argument("--ckpt-step", type=int, metavar="N",
                    help="use the checkpoint saved at step N instead of "
                         "the latest (eval/infer/live/export/serve; "

@@ -46,7 +46,9 @@ class DataConfig:
     cache_window_mb: int = 0
     # Data echoing (Choi et al. 2019): train this many shard-local passes
     # over each window before rotating — divides the host-link bandwidth
-    # demand by the factor. Needs cache_window_mb > 0.
+    # demand by the factor. Needs cache_window_mb > 0. 0 = auto: calibrate
+    # the factor from one measured window staging + one training pass
+    # (streaming_pool.calibrate_window_epochs; CLI `--window-epochs auto`).
     window_epochs: int = 1
 
 
@@ -222,6 +224,16 @@ PRESETS = {
     "make3d-encdec": _cfg(
         data={"datasets": ("make3d",)},
         model={"name": "encdec"},
+        train={"batch_size": 16},
+    ),
+    # Multi-scale coarse+fine CNN (Eigen et al. 2014 family) — the third
+    # classic architecture of the reference's era, re-designed TPU-first
+    # (global context via GAP+MLP instead of the paper's FC layers; one
+    # shared s2d stem; fine stack predicts a residual on the coarse map —
+    # models/multiscale.py). Same shapes/batch as the encdec parity point.
+    "make3d-multiscale": _cfg(
+        data={"datasets": ("make3d",)},
+        model={"name": "multiscale"},
         train={"batch_size": 16},
     ),
     # [B:9] NYU Depth v2: encoder-decoder + fused flip/crop/jitter pipeline.

@@ -69,6 +69,13 @@ def _encdec(cfg: ModelConfig):
                           quant=getattr(cfg, "quant", "none"))
 
 
+@register("multiscale")
+def _multiscale(cfg: ModelConfig):
+    from ann3depth_tpu.models.multiscale import MultiScaleDepthNet
+    return MultiScaleDepthNet(width_mult=cfg.width_mult,
+                              compute_dtype=_dtype(cfg), remat=cfg.remat)
+
+
 @register("dpt")
 def _dpt(cfg: ModelConfig):
     from ann3depth_tpu.models.dpt import DPTDepthNet
@@ -97,6 +104,9 @@ def output_hw(name: str, input_hw):
     if name == "encdec":
         from ann3depth_tpu.models.encdec import EncDecDepthNet
         return EncDecDepthNet.output_hw(input_hw)
+    if name == "multiscale":
+        from ann3depth_tpu.models.multiscale import MultiScaleDepthNet
+        return MultiScaleDepthNet.output_hw(input_hw)
     if name in ("dpt", "dpt-small"):
         from ann3depth_tpu.models.dpt import DPTDepthNet
         return DPTDepthNet.output_hw(input_hw)
@@ -111,4 +121,7 @@ def s2d_input_factor(name: str) -> int:
     if name == "encdec":
         from ann3depth_tpu.models.encdec import EncDecDepthNet
         return EncDecDepthNet.S2D_INPUT_FACTOR
+    if name == "multiscale":
+        from ann3depth_tpu.models.multiscale import MultiScaleDepthNet
+        return MultiScaleDepthNet.S2D_INPUT_FACTOR
     return 0

@@ -56,6 +56,102 @@ from ann3depth_tpu.pipeline.device_cache import (
 log = logging.getLogger(__name__)
 
 
+def pick_window_epochs(t_stage, t_train, batches_per_window,
+                       steps_per_dispatch=1, max_epochs=256):
+    """The echo factor that hides window staging behind training.
+
+    With `t_stage` = one window's staging wall time and `t_train` = one
+    shard-local pass over it, the rotating pool sustains the device rate
+    iff `E * t_train >= t_stage` (module docstring). Returns the smallest
+    such E, rounded UP so the window's step count (batches_per_window * E)
+    stays a multiple of the scanned-dispatch block (a scanned block must
+    not span windows — `index_blocks`), clamped to `max_epochs` (beyond
+    which the quality cost of echoing outweighs a still-starved link —
+    benchmarks/exp_echo_quality.py prices the quality side)."""
+    import math
+
+    if t_stage < 0 or t_train < 0:
+        raise ValueError(f"negative times: {t_stage=}, {t_train=}")
+    e = max(1, -(-int(t_stage * 1e6) // max(int(t_train * 1e6), 1)))
+    # (batches * e) % spd == 0  <=>  e is a multiple of spd/gcd(batches,spd)
+    quantum = (steps_per_dispatch
+               // math.gcd(batches_per_window, steps_per_dispatch)
+               if steps_per_dispatch > 1 else 1)
+    e = -(-e // quantum) * quantum
+    if e > max_epochs:
+        clamped = max(max_epochs // quantum * quantum, quantum)
+        if clamped > max_epochs:
+            raise ValueError(
+                f"no echo factor <= {max_epochs} makes {batches_per_window}"
+                f" batches/window divisible by steps_per_dispatch="
+                f"{steps_per_dispatch}; align --cache-window-mb or K")
+        log.warning(
+            "auto window-epochs clamped to %d (staging %.1fs vs pass "
+            "%.2fs wants x%d) — the link stays the binding term; raise "
+            "--cache-window-mb or accept the stall", clamped, t_stage,
+            t_train, e)
+        e = clamped
+    return e
+
+
+def calibrate_window_epochs(dataset, batch_size, mesh, *, window_bytes,
+                            run_pass, steps_per_dispatch=1, max_epochs=256,
+                            seed=0, byte_budget=DEFAULT_BYTE_BUDGET):
+    """Measure one window's staging time and one training pass over it,
+    return `pick_window_epochs` of the two (the `--window-epochs auto`
+    implementation; train/loop.py wires it).
+
+    `run_pass(batches)` must drain the iterable of (img_u8, depth) device
+    batches through the caller's real train step and SYNC before
+    returning (device_get a metric). It runs twice: once for compile +
+    warmup (the real loop reuses the in-process compile cache, so this
+    costs the run nothing extra), once timed. The probe stages two
+    windows through the link (the first measured, the second overlapping
+    the passes exactly as steady state does) and drops them; the real
+    sampler restages from scratch.
+
+    The measured E is a heuristic lower bound: zero1/distill steps run a
+    few percent slower than the plain step the caller usually calibrates
+    with, and the timed pass may see less link contention than steady
+    state — both biases only make E err small (a partial stall), never
+    cost quality. The chosen E is logged; pass an explicit
+    --window-epochs to pin it (required for reproducible resumes: the
+    index stream depends on E, and calibration timing is not
+    deterministic)."""
+    import time
+
+    probe = StreamingPoolSampler(dataset, batch_size, mesh,
+                                 window_bytes=window_bytes, window_epochs=1,
+                                 steps=None, seed=seed,
+                                 byte_budget=byte_budget)
+    try:
+        windows = probe._windows()
+        t0 = time.perf_counter()
+        pool_img, pool_dep = next(windows)
+        jax.block_until_ready((pool_img, pool_dep))
+        t_stage = time.perf_counter() - t0
+
+        def batches():
+            for idx in probe._window_local_indices():
+                idx = probe._put(idx, probe._sharding)
+                yield probe._gather(pool_img, pool_dep, idx)
+
+        run_pass(batches())  # compile + warmup
+        t0 = time.perf_counter()
+        run_pass(batches())  # timed
+        t_train = time.perf_counter() - t0
+    finally:
+        probe.close()
+    batches_per_window = probe.win_shard // probe.per_dev
+    e = pick_window_epochs(t_stage, t_train, batches_per_window,
+                           steps_per_dispatch, max_epochs=max_epochs)
+    log.info(
+        "auto window-epochs: staging %.2fs vs %.3fs/pass (%d batches) "
+        "-> echo x%d (pin with --window-epochs %d for reproducible "
+        "resumes)", t_stage, t_train, batches_per_window, e, e)
+    return e
+
+
 class _PermView:
     """Read-only dataset view through a permutation slice (the staging
     worker walks windows in permuted order without materializing rows)."""

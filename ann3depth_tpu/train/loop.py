@@ -147,10 +147,11 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             "cache_window_mb configures the rotating-window DEVICE cache — "
             "add --cache-device (host-fed runs have no resident pool to "
             "window)")
-    if cfg.data.window_epochs < 1:
+    if cfg.data.window_epochs < 0:
         raise ValueError(
-            f"window_epochs must be >= 1, got {cfg.data.window_epochs}")
-    if cfg.data.window_epochs > 1 and not cfg.data.cache_window_mb:
+            f"window_epochs must be >= 1 (or 0 = auto-calibrate), got "
+            f"{cfg.data.window_epochs}")
+    if cfg.data.window_epochs != 1 and not cfg.data.cache_window_mb:
         raise ValueError(
             "window_epochs (data echoing) repeats WINDOW passes — it needs "
             "--cache-window-mb; a full resident pool already revisits every "
@@ -406,12 +407,47 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         # (exclusivity with use_grain/multi-dataset validated up top,
         # before the checkpoint manager/writers hold resources)
         if cfg.data.cache_window_mb:
-            from ann3depth_tpu.pipeline.streaming_pool import (
-                StreamingPoolSampler)
-            feed = StreamingPoolSampler(
+            from ann3depth_tpu.pipeline import streaming_pool
+            window_epochs = cfg.data.window_epochs
+            if window_epochs == 0:  # --window-epochs auto
+                if nproc > 1:
+                    raise ValueError(
+                        "--window-epochs auto calibrates from process-"
+                        "local timings and would diverge across "
+                        "controllers; pass an explicit factor under "
+                        "--multihost")
+                # Calibrate with the plain fused step on a throwaway
+                # state (zero1/distill steps differ by a few percent —
+                # the bias only under-picks E; streaming_pool docstring).
+                cal = [create_state(cfg, mesh)]
+                cal_kw = dict(
+                    input_hw=cfg.data.input_hw,
+                    target_hw=resolved_target_hw(cfg),
+                    si_lambda=cfg.train.si_lambda,
+                    augment=cfg.data.augment, loss_kind=cfg.train.loss,
+                    use_pallas=_use_pallas(cfg),
+                    emit_s2d=0 if _use_pallas(cfg)
+                    else registry.s2d_input_factor(cfg.model.name),
+                    grad_accum=accum, ema_decay=cfg.train.ema_decay)
+
+                def _cal_pass(batches):
+                    s, m = cal[0], None
+                    for img, dep in batches:
+                        s, m = steplib.train_step(s, img, dep, rng,
+                                                  **cal_kw)
+                    cal[0] = s  # donation: thread the live buffers
+                    float(jax.device_get(m["loss"]))
+
+                window_epochs = streaming_pool.calibrate_window_epochs(
+                    dataset, cfg.train.batch_size, mesh,
+                    window_bytes=cfg.data.cache_window_mb << 20,
+                    run_pass=_cal_pass, steps_per_dispatch=spd,
+                    seed=cfg.train.seed)
+                del cal
+            feed = streaming_pool.StreamingPoolSampler(
                 dataset, cfg.train.batch_size, mesh,
                 window_bytes=cfg.data.cache_window_mb << 20,
-                window_epochs=cfg.data.window_epochs, steps=n_steps,
+                window_epochs=window_epochs, steps=n_steps,
                 seed=cfg.train.seed + start_step)
         else:
             from ann3depth_tpu.pipeline.device_cache import (

@@ -15,6 +15,8 @@ from ann3depth_tpu.train import step as steplib
     ("encdec", (240, 320), (120, 160)),
     ("small", (96, 128), (12, 16)),
     ("encdec", (96, 128), (48, 64)),
+    ("multiscale", (240, 320), (120, 160)),
+    ("multiscale", (96, 128), (48, 64)),
 ])
 def test_output_shapes(name, hw, out_hw):
     cfg = ModelConfig(name=name, compute_dtype="float32")
@@ -32,7 +34,7 @@ def test_registry_rejects_unknown():
         registry.build(ModelConfig(name="nope"))
 
 
-@pytest.mark.parametrize("name", ["small", "encdec"])
+@pytest.mark.parametrize("name", ["small", "encdec", "multiscale"])
 def test_forward_deterministic_golden(name):
     """Fixed-seed forward emits a stable fingerprint (golden test §4.3)."""
     cfg = ModelConfig(name=name, compute_dtype="float32")
@@ -51,12 +53,13 @@ def test_forward_deterministic_golden(name):
     assert np.all(np.isfinite(np.asarray(y1)))
 
 
-def test_encdec_accepts_pre_s2d_input():
+@pytest.mark.parametrize("name", ["encdec", "multiscale"])
+def test_accepts_pre_s2d_input(name):
     """forward(pre-s2d layout) is bitwise forward(rgb) — same ops after
     the stem, relayout done by the caller (emit_s2d preprocess path)."""
     from ann3depth_tpu.models.encdec import space_to_depth
 
-    cfg = ModelConfig(name="encdec", compute_dtype="float32")
+    cfg = ModelConfig(name=name, compute_dtype="float32")
     model = registry.build(cfg)
     params = steplib.init_params(model, (96, 128), seed=0)
     x = jnp.asarray(np.random.default_rng(9).normal(0, 1, (2, 96, 128, 3)),
@@ -64,6 +67,46 @@ def test_encdec_accepts_pre_s2d_input():
     y_rgb = jax.jit(model.apply)({"params": params}, x)
     y_s2d = jax.jit(model.apply)({"params": params}, space_to_depth(x, 4))
     np.testing.assert_array_equal(np.asarray(y_rgb), np.asarray(y_s2d))
+    assert registry.s2d_input_factor(name) == 4
+
+
+def test_multiscale_grads_flow_everywhere():
+    """Every parameter tensor — both scales, the global-context MLP, both
+    heads — receives gradient (dead-path detector for the two-branch
+    residual topology)."""
+    cfg = ModelConfig(name="multiscale", compute_dtype="float32")
+    model = registry.build(cfg)
+    params = steplib.init_params(model, (96, 128))
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (1, 96, 128, 3)),
+                    jnp.float32)
+
+    def f(p):
+        return jnp.sum(model.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(f)(params)
+    norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
+    assert all(np.isfinite(norms))
+    assert sum(n > 0 for n in norms) >= len(norms) - 2
+
+
+def test_multiscale_coarse_carries_global_signal():
+    """The fine residual sits ON TOP of the coarse map: zeroing the fine
+    head's params must leave a prediction that still varies with the
+    input (the coarse pathway alone carries signal) — the structural
+    stage-wise coupling the model docstring claims."""
+    cfg = ModelConfig(name="multiscale", compute_dtype="float32")
+    model = registry.build(cfg)
+    params = steplib.init_params(model, (96, 128), seed=1)
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, l: jnp.zeros_like(l)
+        if any(getattr(k, "key", "") == "fine_head" for k in path) else l,
+        params)
+    rng = np.random.default_rng(11)
+    x1 = jnp.asarray(rng.normal(0, 1, (1, 96, 128, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(0, 1, (1, 96, 128, 3)), jnp.float32)
+    y1 = model.apply({"params": params}, x1)
+    y2 = model.apply({"params": params}, x2)
+    assert float(jnp.max(jnp.abs(y1 - y2))) > 1e-4
 
 
 def test_encdec_bf16_params_stay_f32():

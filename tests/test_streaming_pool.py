@@ -125,6 +125,50 @@ def test_validation_errors(cpu_mesh):
                              window_epochs=0)
 
 
+def test_pick_window_epochs():
+    """The auto echo-factor rule: smallest E hiding staging, rounded up
+    to the scanned-dispatch quantum, clamped."""
+    from ann3depth_tpu.pipeline.streaming_pool import pick_window_epochs
+
+    assert pick_window_epochs(10.0, 1.0, 4) == 10
+    assert pick_window_epochs(0.5, 1.0, 4) == 1  # training covers staging
+    assert pick_window_epochs(0.0, 1.0, 4) == 1
+    assert pick_window_epochs(10.0, 3.0, 4) == 4  # ceil(10/3)
+    # spd=8 over 4 batches/window -> E must be even
+    assert pick_window_epochs(10.0, 3.0, 4, steps_per_dispatch=8) == 4
+    assert pick_window_epochs(2.9, 1.0, 4, steps_per_dispatch=8) == 4
+    # clamp, plain and quantum-respecting
+    assert pick_window_epochs(1000.0, 0.001, 4, max_epochs=16) == 16
+    assert pick_window_epochs(1000.0, 0.001, 4, steps_per_dispatch=3,
+                              max_epochs=16) == 15
+    with pytest.raises(ValueError, match="negative"):
+        pick_window_epochs(-1.0, 1.0, 4)
+
+
+def test_calibrate_window_epochs(cpu_mesh):
+    """The probe stages one measured window, runs the caller's pass twice
+    (compile + timed), and returns a positive factor."""
+    from ann3depth_tpu.pipeline.streaming_pool import (
+        calibrate_window_epochs)
+
+    ds = SyntheticDepthDataset(n=32, img_hw=(16, 16), depth_hw=(8, 8))
+    calls = []
+
+    def run_pass(batches):
+        n = 0
+        for img, dep in batches:
+            jax.block_until_ready((img, dep))
+            n += 1
+        calls.append(n)
+
+    e = calibrate_window_epochs(
+        ds, 8, cpu_mesh, window_bytes=_window_bytes(ds, 16),
+        run_pass=run_pass, steps_per_dispatch=2)
+    assert e >= 1
+    assert calls == [2, 2]  # steps_per_window(E=1) = 2, run twice
+    assert (2 * e) % 2 == 0  # dispatch quantum respected
+
+
 def _smoke_cfg(tmp_path, **train_over):
     from ann3depth_tpu.config import get_config
 
@@ -169,6 +213,21 @@ def test_train_loop_streaming_with_scan_dispatch(tmp_path, cpu_mesh):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
         jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+def test_train_loop_window_epochs_auto(tmp_path, cpu_mesh):
+    """--window-epochs auto: the loop calibrates an echo factor from the
+    measured probe and trains to completion with it."""
+    from ann3depth_tpu.train import loop as looplib
+
+    ds = SyntheticDepthDataset(n=64)
+    cfg = _smoke_cfg(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, window_epochs=0))
+    state, metrics = looplib.train(cfg, workdir=str(tmp_path / "w"),
+                                   dataset=ds, progress=False)
+    assert int(state.step) == 8
+    assert np.isfinite(metrics["loss"])
 
 
 def test_loop_validates_window_flags(tmp_path):
