@@ -66,7 +66,6 @@ def run(n_examples=1024, window_mb=128, echoes=(1, 8, 32, 128),
         ex_mb = (ds[0][0].nbytes + ds[0][1].nbytes) / 1e6
 
         mesh = meshlib.create_mesh()
-        state0 = looplib.create_state(cfg, mesh)
         rng = jax.device_put(jax.random.key(0), meshlib.replicated(mesh))
         kw = dict(input_hw=cfg.data.input_hw,
                   target_hw=looplib.resolved_target_hw(cfg),
@@ -86,7 +85,10 @@ def run(n_examples=1024, window_mb=128, echoes=(1, 8, 32, 128),
                 window_epochs=e, steps=(1 + timed_windows) * spw, seed=0)
             assert sampler.steps_per_window == spw and sampler.win == win
             total = (1 + timed_windows) * spw
-            state, metrics, t0, n_timed = state0, {}, None, 0
+            # fresh state per arm: train_step donates its buffers, so a
+            # shared state0 would be dead after the first arm
+            state = looplib.create_state(cfg, mesh)
+            metrics, t0, n_timed = {}, None, 0
             t_start = time.perf_counter()
             for i, (img, dep) in enumerate(sampler):
                 if i == spw:  # window 1 (incl. compile) = warmup
