@@ -242,10 +242,12 @@ def build_parser():
     pt.add_argument("--eval-every", type=int,
                     help="in-loop eval cadence in steps (0 disables)")
     pt.add_argument("--log-every", type=int,
-                    help="metrics/log cadence in steps (default 50; must "
-                         "be a multiple of --steps-per-dispatch)")
+                    help="metrics/log cadence in steps (default 50; 0 "
+                         "logs only the final step; must be a multiple "
+                         "of --steps-per-dispatch)")
     pt.add_argument("--checkpoint-every", type=int,
-                    help="checkpoint cadence in steps (default 500)")
+                    help="checkpoint cadence in steps (default 500; 0 "
+                         "saves only the final step)")
     pt.add_argument("--early-stop-patience", type=int,
                     help="stop when the in-loop eval RMSE hasn't improved "
                          "for this many consecutive evals (0 = off; "

@@ -111,6 +111,8 @@ class TrainConfig:
     adam_b2: float = 0.999
     weight_decay: float = 0.0
     clip_norm: float = 1.0         # global-norm gradient clip (<=0: off)
+    # Periodic cadences, in steps. 0 disables the periodic action (the
+    # final step still logs and checkpoints — eval/infer need a last save).
     checkpoint_every: int = 500
     log_every: int = 50
     eval_every: int = 500

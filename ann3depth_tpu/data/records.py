@@ -110,6 +110,7 @@ class RecordDataset:
     """
 
     def __init__(self, index_path: str):
+        self._index_path = index_path
         with open(index_path) as f:
             self.index = json.load(f)
         self.name = self.index["name"]
@@ -120,10 +121,13 @@ class RecordDataset:
                                  mmap_mode="r")
             self._deps = np.load(os.path.join(base, self.index["depths"]),
                                  mmap_mode="r")
-            if len(self._imgs) != self.index["total"]:
-                raise ValueError(
-                    f"{index_path}: images row count {len(self._imgs)} != "
-                    f"index total {self.index['total']} — incomplete pack?")
+            for field, arr in (("images", self._imgs),
+                               ("depths", self._deps)):
+                if len(arr) != self.index["total"]:
+                    raise ValueError(
+                        f"{index_path}: {field} row count {len(arr)} != "
+                        f"index total {self.index['total']} — incomplete "
+                        "pack?")
         else:
             self._shards = [os.path.join(base, s["path"])
                             for s in self.index["shards"]]
@@ -136,6 +140,18 @@ class RecordDataset:
 
     def __len__(self):
         return self.index["total"]
+
+    # A pickled np.memmap serializes the FULL underlying buffer as an
+    # ndarray (measured: a 1 MB mmap_mode="r" load pickles to ~1 MB), so
+    # shipping this object to grain worker processes (--use-grain
+    # --num-workers N) would copy the whole packed dataset into every
+    # worker. Pickle only the index path; workers reopen their own memmaps
+    # (row reads then share the OS page cache across processes).
+    def __getstate__(self):
+        return {"index_path": self._index_path}
+
+    def __setstate__(self, state):
+        self.__init__(state["index_path"])
 
     def _shard(self, si):
         if si not in self._cache:

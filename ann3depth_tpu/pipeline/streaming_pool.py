@@ -108,16 +108,20 @@ def calibrate_window_epochs(dataset, batch_size, mesh, *, window_bytes,
     costs the run nothing extra), once timed. The probe stages two
     windows through the link (the first measured, the second overlapping
     the passes exactly as steady state does) and drops them; the real
-    sampler restages from scratch.
+    sampler restages from scratch. close() waits out the second window's
+    in-flight staging — bounded by one t_stage of dead wall time, the
+    price of measuring t_train under steady-state link contention.
 
-    The measured E is a heuristic lower bound: zero1/distill steps run a
-    few percent slower than the plain step the caller usually calibrates
-    with, and the timed pass may see less link contention than steady
-    state — both biases only make E err small (a partial stall), never
-    cost quality. The chosen E is logged; pass an explicit
-    --window-epochs to pin it (required for reproducible resumes: the
-    index stream depends on E, and calibration timing is not
-    deterministic)."""
+    Bias directions of the measured E: t_stage includes the staging
+    programs' one-time compiles and cold page-cache reads (first window
+    only), so it errs LARGE — E over-picked, a bounded quality cost
+    (priced by benchmarks/exp_echo_quality.py: ±1.1% RMSE through E=16)
+    but never a stall. t_train errs small when the real step is a
+    zero1/distill variant a few percent slower than the plain step used
+    here — E under-picked, a partial stall. The chosen E is logged; pass
+    an explicit --window-epochs to pin it (required for reproducible
+    resumes: the index stream depends on E, and calibration timing is
+    not deterministic)."""
     import time
 
     probe = StreamingPoolSampler(dataset, batch_size, mesh,
@@ -125,10 +129,21 @@ def calibrate_window_epochs(dataset, batch_size, mesh, *, window_bytes,
                                  steps=None, seed=seed,
                                  byte_budget=byte_budget)
     try:
-        windows = probe._windows()
+        windows = probe._windows(2)
         t0 = time.perf_counter()
         pool_img, pool_dep = next(windows)
-        jax.block_until_ready((pool_img, pool_dep))
+        # block_until_ready acks at dispatch on the tunneled backend
+        # (utils/tracing; measured in bench_feed.bench_link: 28 ms "ready"
+        # vs 405 ms until a kernel can read the data) — only a consuming
+        # read is a true barrier. Gather one batch from the staged pools
+        # and pull a row-slice per example to host: the gather depends on
+        # every shard's final update, so this completes only after all
+        # staging transfers landed.
+        idx = probe._put(np.zeros(probe.local_data * probe.per_dev,
+                                  np.int32), probe._sharding)
+        g_img, g_dep = probe._gather(pool_img, pool_dep, idx)
+        jax.device_get((g_img[(slice(None),) + (0,) * (g_img.ndim - 1)],
+                        g_dep[(slice(None),) + (0,) * (g_dep.ndim - 1)]))
         t_stage = time.perf_counter() - t0
 
         def batches():
@@ -304,21 +319,28 @@ class StreamingPoolSampler:
             for w in range(self.windows_per_pass):
                 yield pass_perm[w * self.win:(w + 1) * self.win]
 
-    def _windows(self):
-        """Yield staged (pool_img, pool_dep) windows, always keeping one
+    def _windows(self, count):
+        """Yield `count` staged (pool_img, pool_dep) windows, keeping one
         staging request in flight so the next window uploads while the
-        current one trains."""
+        current one trains — and never requesting a window that won't be
+        consumed (a run would otherwise end by staging one full window
+        nobody reads, and close() would sit out that transfer)."""
+        if count < 1:
+            return
         perms = self._window_perms()
         self._req.put(next(perms))
         self._pending += 1
-        while True:
+        issued = 1
+        for _ in range(count):
             res = self._res.get()
             self._pending -= 1
             if isinstance(res, BaseException):
                 raise RuntimeError(
                     "streaming pool staging worker failed") from res
-            self._req.put(next(perms))
-            self._pending += 1
+            if issued < count:
+                self._req.put(next(perms))
+                self._pending += 1
+                issued += 1
             yield res
 
     # -- sampling ----------------------------------------------------------
@@ -345,9 +367,12 @@ class StreamingPoolSampler:
             return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)
 
+    def _windows_needed(self, total_steps):
+        return -(-total_steps // self.steps_per_window)
+
     def __iter__(self):
         step, total = 0, self._total_steps()
-        windows = self._windows()
+        windows = self._windows(self._windows_needed(total))
         while step < total:
             self.pool_img, self.pool_dep = next(windows)
             for idx in self._window_local_indices():
@@ -382,7 +407,7 @@ class StreamingPoolSampler:
                 "constraint of the scanned program)")
         block_sharding = NamedSharding(
             self._mesh, P(None, meshlib.DATA_AXIS))
-        step, windows = 0, self._windows()
+        step, windows = 0, self._windows(self._windows_needed(total))
         while step < total:
             self.pool_img, self.pool_dep = next(windows)
             stream = self._window_local_indices()

@@ -130,6 +130,12 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
     accum = cfg.train.grad_accum
     if accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {accum}")
+    for name in ("log_every", "checkpoint_every", "eval_every"):
+        if getattr(cfg.train, name) < 0:
+            raise ValueError(
+                f"{name} must be >= 0 (0 disables the periodic cadence; "
+                f"the final step still logs/saves), got "
+                f"{getattr(cfg.train, name)}")
     if cfg.train.batch_size % accum:
         raise ValueError(
             f"batch_size={cfg.train.batch_size} is not divisible by "
@@ -403,6 +409,16 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
             f"resume step {start_step} leaves {n_steps} steps, not a "
             f"multiple of steps_per_dispatch={spd}; resume from a block-"
             "aligned checkpoint or drop --steps-per-dispatch")
+    step_kwargs = dict(input_hw=cfg.data.input_hw,
+                       target_hw=resolved_target_hw(cfg),
+                       si_lambda=cfg.train.si_lambda, augment=cfg.data.augment,
+                       loss_kind=cfg.train.loss,
+                       use_pallas=_use_pallas(cfg),
+                       # XLA preprocess emits the stem's s2d layout directly
+                       # for models that accept it (+~5% step time, encdec).
+                       emit_s2d=0 if _use_pallas(cfg)
+                       else registry.s2d_input_factor(cfg.model.name),
+                       grad_accum=accum, ema_decay=cfg.train.ema_decay)
     if cfg.data.cache_device:
         # (exclusivity with use_grain/multi-dataset validated up top,
         # before the checkpoint manager/writers hold resources)
@@ -417,24 +433,17 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                         "controllers; pass an explicit factor under "
                         "--multihost")
                 # Calibrate with the plain fused step on a throwaway
-                # state (zero1/distill steps differ by a few percent —
+                # state, passing the REAL loop's step_kwargs so the
+                # calibration pass compiles the exact program the run
+                # reuses (zero1/distill steps differ by a few percent —
                 # the bias only under-picks E; streaming_pool docstring).
                 cal = [create_state(cfg, mesh)]
-                cal_kw = dict(
-                    input_hw=cfg.data.input_hw,
-                    target_hw=resolved_target_hw(cfg),
-                    si_lambda=cfg.train.si_lambda,
-                    augment=cfg.data.augment, loss_kind=cfg.train.loss,
-                    use_pallas=_use_pallas(cfg),
-                    emit_s2d=0 if _use_pallas(cfg)
-                    else registry.s2d_input_factor(cfg.model.name),
-                    grad_accum=accum, ema_decay=cfg.train.ema_decay)
 
                 def _cal_pass(batches):
                     s, m = cal[0], None
                     for img, dep in batches:
                         s, m = steplib.train_step(s, img, dep, rng,
-                                                  **cal_kw)
+                                                  **step_kwargs)
                     cal[0] = s  # donation: thread the live buffers
                     float(jax.device_get(m["loss"]))
 
@@ -493,16 +502,6 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         feed = DeviceFeed(host_iter, sharding=sharding,
                           prefetch=cfg.data.prefetch)
 
-    step_kwargs = dict(input_hw=cfg.data.input_hw,
-                       target_hw=resolved_target_hw(cfg),
-                       si_lambda=cfg.train.si_lambda, augment=cfg.data.augment,
-                       loss_kind=cfg.train.loss,
-                       use_pallas=_use_pallas(cfg),
-                       # XLA preprocess emits the stem's s2d layout directly
-                       # for models that accept it (+~5% step time, encdec).
-                       emit_s2d=0 if _use_pallas(cfg)
-                       else registry.s2d_input_factor(cfg.model.name),
-                       grad_accum=accum, ema_decay=cfg.train.ema_decay)
     # XLA:CPU's in-process collective rendezvous can starve when many
     # async-dispatched steps are in flight on a host with few cores (each
     # waiting participant blocks a pool thread; rendezvous.cc aborts after
@@ -617,7 +616,8 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                          prof_stop - prof_start, cfg.train.profile_dir)
             is_last = i == n_iters - 1
 
-            if (step_no + 1) % cfg.train.log_every == 0 or is_last:
+            if (cfg.train.log_every
+                    and (step_no + 1) % cfg.train.log_every == 0) or is_last:
                 metrics = jax.device_get(metrics)  # sync point
                 if not np.isfinite(metrics["loss"]):
                     raise FloatingPointError(
@@ -745,7 +745,9 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                             break
                 t0, imgs_since = time.perf_counter(), 0
 
-            if (step_no + 1) % cfg.train.checkpoint_every == 0 or is_last:
+            if (cfg.train.checkpoint_every
+                    and (step_no + 1) % cfg.train.checkpoint_every == 0
+                    ) or is_last:
                 ckpt.save(step_no + 1, state)
     finally:
         if profiling:  # loop exited inside the trace window

@@ -459,3 +459,49 @@ def test_builtin_checksums_outrank_recorded(tmp_path, monkeypatch):
     monkeypatch.setitem(dl.CHECKSUMS, "Test134.tar.gz", "0" * 64)
     with pytest.raises(RuntimeError, match="builtin CHECKSUMS"):
         dl._verify_archive(str(p))
+
+
+def test_records_npy_truncated_depths_fail_loudly(tmp_path):
+    """Open-time validation must cover BOTH memmaps: a crash that truncates
+    only the depths file would otherwise surface as an opaque IndexError
+    from the gather fancy-index mid-epoch."""
+    import os as _os
+
+    import numpy as _np
+
+    from ann3depth_tpu.data.records import RecordDataset, pack
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+
+    src = SyntheticDepthDataset(n=8, img_hw=(16, 16), depth_hw=(8, 8))
+    index = pack(src, str(tmp_path), "train", format="npy")
+    deps_path = str(tmp_path / "synthetic-train-depths.npy")
+    short = _np.lib.format.open_memmap(
+        deps_path + ".new", mode="w+", dtype=_np.float32, shape=(3, 8, 8))
+    del short
+    _os.replace(deps_path + ".new", deps_path)
+    with pytest.raises(ValueError, match="depths row count.*incomplete"):
+        RecordDataset(index)
+
+
+def test_records_npy_pickles_by_path_not_by_buffer(tmp_path):
+    """np.memmap pickles as a FULL ndarray, so a RecordDataset shipped to
+    grain worker processes (--use-grain --num-workers N) would copy the
+    whole packed dataset into every worker; it must pickle as just the
+    index path and reopen its own memmaps."""
+    import pickle
+
+    from ann3depth_tpu.data.records import RecordDataset, pack
+    from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
+
+    src = SyntheticDepthDataset(n=64, img_hw=(32, 32), depth_hw=(16, 16))
+    ds = RecordDataset(pack(src, str(tmp_path), "train", format="npy"))
+    data_bytes = ds._imgs.nbytes + ds._deps.nbytes
+    blob = pickle.dumps(ds)
+    assert len(blob) < data_bytes // 10, (
+        f"pickle is {len(blob)} bytes for {data_bytes} bytes of data — "
+        "the memmap buffers leaked into the pickle")
+    ds2 = pickle.loads(blob)
+    for (ai, ad), (bi, bd) in zip(ds.batches(4, steps=3, seed=1),
+                                  ds2.batches(4, steps=3, seed=1)):
+        np.testing.assert_array_equal(ai, bi)
+        np.testing.assert_array_equal(ad, bd)

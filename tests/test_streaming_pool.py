@@ -244,3 +244,36 @@ def test_loop_validates_window_flags(tmp_path):
                                       window_epochs=2))
     with pytest.raises(ValueError, match="window_epochs"):
         looplib.train(bad, workdir=str(tmp_path / "w"), progress=False)
+
+
+def test_no_overstaging_beyond_consumed_windows(cpu_mesh):
+    """A steps-bounded run must not leave a staging request in flight for
+    a window nobody will consume: the final window's arrival would push a
+    full window through the link for nothing and close() would sit out
+    that transfer."""
+    ds = SyntheticDepthDataset(n=32, img_hw=(16, 16), depth_hw=(8, 8))
+    for use_blocks in (False, True):
+        sampler = StreamingPoolSampler(
+            ds, 8, cpu_mesh, window_bytes=_window_bytes(ds, 16),
+            steps=4, seed=0)  # exactly 2 windows x 2 steps
+        if use_blocks:
+            out = list(sampler.index_blocks(2))
+            assert len(out) == 2
+        else:
+            out = list(sampler)
+            assert len(out) == 4
+        assert sampler._pending == 0, (
+            "a staging request beyond the consumed windows is in flight")
+        sampler.close()
+
+
+def test_partial_final_window_stages_no_extra(cpu_mesh):
+    """steps that end mid-window still stage only ceil(steps/spw)
+    windows."""
+    ds = SyntheticDepthDataset(n=48, img_hw=(16, 16), depth_hw=(8, 8))
+    sampler = StreamingPoolSampler(
+        ds, 8, cpu_mesh, window_bytes=_window_bytes(ds, 16),
+        steps=3, seed=0)  # 2 steps/window -> 2 windows, last half-used
+    assert len(list(sampler)) == 3
+    assert sampler._pending == 0
+    sampler.close()

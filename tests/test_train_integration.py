@@ -472,3 +472,27 @@ def test_save_best_requires_in_loop_eval(tmp_path):
             ckpt_dir=str(tmp_path / "ckpt")))
     with pytest.raises(ValueError, match="save_best"):
         looplib.train(cfg, workdir=str(tmp_path), progress=False)
+
+
+def test_cadence_zero_disables_periodic(tmp_path):
+    """log_every=0 / checkpoint_every=0 disable the periodic cadence (the
+    natural 'off' spelling, matching eval_every=0); the final step still
+    logs and saves, so downstream eval/infer have a checkpoint."""
+    cfg = _smoke_cfg(tmp_path, steps=4, batch_size=2, log_every=0,
+                     checkpoint_every=0, eval_every=0, warmup_steps=0)
+    state, _ = looplib.train(cfg, workdir=str(tmp_path), progress=False)
+    assert int(state.step) == 4
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert [l["step"] for l in lines] == [4]  # only the final step logged
+    from ann3depth_tpu.train.checkpoint import CheckpointManager
+    ckpt = CheckpointManager(cfg.train.ckpt_dir)
+    try:
+        assert ckpt.latest_step() == 4
+    finally:
+        ckpt.close()
+
+
+def test_negative_cadence_rejected(tmp_path):
+    cfg = _smoke_cfg(tmp_path, steps=4, batch_size=2, log_every=-1)
+    with pytest.raises(ValueError, match="log_every"):
+        looplib.train(cfg, workdir=str(tmp_path), progress=False)
