@@ -26,12 +26,26 @@ REFERENCE_PROXY_IMAGES_PER_SEC = 2.8
 
 RAW_HW = (480, 640)       # raw frame size shipped to device (uint8)
 WARMUP = 10
-STEPS = 100  # amortize the tunnel's per-sync RTT (~tens of ms)
+# r4: 100 -> 400. The scan-of-K program syncs once at the end of the
+# timed region; through the axon tunnel that sync costs ~tens of ms and
+# amortizing it over 100 steps still hid ~11% of the device rate
+# (measured 8433 img/s at 100 steps vs 9366 at 400, matching the real
+# loop's --steps-per-dispatch 200 sustained rate of 9.39k — BASELINE.md
+# scanned-dispatch row). 400 steps times the device pipeline, not the
+# tunnel boundary.
+STEPS = 400
 
 
 def main():
     from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.cli import _default_compile_cache
     from benchmarks import bench_train
+
+    # Persistent XLA compile cache (same default dir as the CLI): on a
+    # slow-compile day the tunnel's remote-compile service was observed
+    # taking ~6 min for the first train_step program — cache hits make
+    # repeat bench runs start in seconds instead.
+    _default_compile_cache()
 
     # One implementation of the measurement (benchmarks/bench_train.py):
     # device-resident batch pool, device_get sync (NOT block_until_ready —

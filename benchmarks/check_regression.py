@@ -17,6 +17,9 @@ import sys
 # floor, measured reference (BASELINE.md; r2 scan-of-K measurements —
 # robust to the tunnel's per-dispatch RTT weather, see bench_train.py)
 FLOORS = {
+    # r4 measured 9331-9366 at bench.py's 400-step region; this gate's
+    # own 60-step run amortizes the end sync less, so the floor stays
+    # keyed to the 100-step-era 8215 reference.
     "encdec_b16_images_per_sec": (6000.0, 8215.0),
     # r3: preset moved to b16 remat=False (622 img/s, the sweep winner)
     "dpt384_train_images_per_sec": (500.0, 622.0),
