@@ -118,10 +118,13 @@ def calibrate_window_epochs(dataset, batch_size, mesh, *, window_bytes,
     (priced by benchmarks/exp_echo_quality.py: ±1.1% RMSE through E=16)
     but never a stall. t_train errs small when the real step is a
     zero1/distill variant a few percent slower than the plain step used
-    here — E under-picked, a partial stall. The chosen E is logged; pass
-    an explicit --window-epochs to pin it (required for reproducible
-    resumes: the index stream depends on E, and calibration timing is
-    not deterministic)."""
+    here — E under-picked, a partial stall. The chosen E is logged, and
+    the train loop persists it next to the checkpoints
+    (<ckpt_dir>/window_epochs.json) and REUSES it on resume instead of
+    recalibrating (r5): the index stream depends on E and calibration
+    timing is not deterministic, so a recalibrated resume would silently
+    walk a different stream. An explicit --window-epochs still pins it
+    (a mismatch against the persisted factor warns)."""
     import time
 
     probe = StreamingPoolSampler(dataset, batch_size, mesh,

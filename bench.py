@@ -4,8 +4,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures steady-state images/sec of the full fused training step (uint8
 frames -> on-device preprocess -> fwd/bwd -> update) at batch 16, 320x240
-input / 160x120 depth. Host batches are pre-generated and device transfers
-overlap compute, so this times the device pipeline, not numpy.
+input / 160x120 depth. The synthetic batch pool is generated ON DEVICE
+(bench_train.py, r4): no H2D transfer in setup or in the timed region —
+this times the device pipeline alone, not numpy or the host link.
 
 `vs_baseline` compares against the reference's training throughput. The
 reference itself was unavailable/unrunnable (SURVEY.md §0), so the recorded

@@ -78,6 +78,13 @@ def test_evaluate_report_dir_writes_attribution(tmp_path):
     summary = json.load(open(os.path.join(rdir, "summary.json")))
     assert summary["images"] == len(rows)
     assert summary["metrics"]["rmse"] == pytest.approx(metrics["rmse"])
+    # KITTI-comparable SILog (r5): both forms present, and silog_kitti is
+    # the mean of the per-image rows' silog x100 (each row finalizes one
+    # image, so its silog_kitti == 100 * its silog).
+    assert summary["metrics"]["silog_kitti"] == pytest.approx(
+        100.0 * np.mean([r["silog"] for r in rows]), rel=1e-4)
+    assert all(r["silog_kitti"] == pytest.approx(100.0 * r["silog"],
+                                                 rel=1e-5) for r in rows)
     # worst list is the top-K per-image RMSEs, ranked worst-first
     worst = summary["worst"]
     assert len(worst) == 4

@@ -349,3 +349,28 @@ def test_si_grad_kind_dispatch_and_training():
     args = build_parser().parse_args(
         ["train", "--config", "smoke", "--loss", "si+grad"])
     assert _resolve(args).train.loss == "si+grad"
+
+
+def test_silog_kitti_is_mean_per_image_silog_x100():
+    """silog_kitti (r5): mean over images of each image's SILog, x100 —
+    the KITTI leaderboard form, accumulated as its own sufficient
+    statistic (NOT derivable from the pooled pixel sums)."""
+    rng = np.random.default_rng(9)
+    target = rng.uniform(1.0, 50.0, (4, 8, 8)).astype(np.float32)
+    pred_log = np.log(target) + rng.normal(0, 0.3, target.shape).astype(
+        np.float32)
+    m = {k: float(v) for k, v in losses.depth_metrics(pred_log,
+                                                      target).items()}
+    per_img = [float((pred_log[i] - np.log(target[i])).std())
+               for i in range(4)]
+    assert m["silog_kitti"] == pytest.approx(100.0 * np.mean(per_img),
+                                             rel=1e-3)
+    # pooled form differs (per-image means subtract per image)
+    assert m["silog"] != pytest.approx(m["silog_kitti"] / 100.0, rel=1e-4)
+    # and it accumulates: stats summed over two halves == one-shot
+    a = losses.depth_metric_stats(pred_log[:2], target[:2])
+    b = losses.depth_metric_stats(pred_log[2:], target[2:])
+    summed = {k: float(a[k]) + float(b[k]) for k in a}
+    fin = losses.finalize_depth_metrics(summed)
+    assert float(fin["silog_kitti"]) == pytest.approx(m["silog_kitti"],
+                                                      rel=1e-5)
