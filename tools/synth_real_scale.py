@@ -24,9 +24,19 @@ What "authentic" means here (per the published datasets + SURVEY §2.1):
                                  scenes: object refs to char arrays
                                  (consecutive frames share scenes).
 
-Content is smooth low-frequency noise upscaled to full resolution: JPEG
-encodes it quickly and at realistic file sizes, and depth stays in each
-dataset's physical range. Synthesis is deterministic (seeded).
+Content (r5): rendered box-scenes whose IMAGE IS PREDICTIVE OF DEPTH —
+the same ground-plane + fronto-parallel-box geometry as
+`data/synthetic.make_scene`, rendered at each dataset's authentic
+resolutions and physical depth ranges (Make3D outdoor 2-80 m with
+far-plane saturation past the 70 m cap; NYU indoor 0.7-10 m). The r4
+synthesizer drew INDEPENDENT smooth-noise fields for image and depth, so
+the stand-ins exercised only the mechanics: a model trained on them
+could learn nothing but the depth prior. With correlated content the
+true-scale product-path and NYU quality runs measure real fitting.
+NYU frames are additionally grouped into scenes (consecutive frames
+share geometry with per-frame viewpoint jitter), making the
+scene-correlated split protocols meaningful. Synthesis stays
+deterministic (seeded) and format-authentic.
 
 Usage: python tools/synth_real_scale.py <data_dir> [--nyu-n 1449]
 """
@@ -46,33 +56,83 @@ MAKE3D_IMG_WH = (2272, 1704)  # PIL size order (W, H)
 NYU_HW = (480, 640)
 
 
-def _smooth_u8(rng, hw, channels=3, low_hw=(18, 24)):
-    """Low-frequency random field upscaled to hw — JPEG-friendly content."""
+def _scene_boxes(geom_rng, depth_range, n_min=1, n_max=4):
+    """Fractional-coordinate box list [(fy, fx, fh, fw, depth_m)]."""
+    near, far = depth_range
+    boxes = []
+    for _ in range(int(geom_rng.integers(n_min, n_max))):
+        bd = float(geom_rng.uniform(near, near + 0.56 * (far - near)))
+        fy, fx = geom_rng.uniform(0, 0.5, 2)
+        fh, fw = geom_rng.uniform(1 / 6, 0.5, 2)
+        boxes.append((fy, fx, fh, fw, bd))
+    return boxes
+
+
+def _render_depth(boxes, depth_hw, depth_range):
+    """Ground-plane gradient (near at the bottom, far at the top) with
+    fronto-parallel boxes punched in — the make_scene geometry at an
+    arbitrary grid resolution."""
+    near, far = depth_range
+    dh, dw = depth_hw
+    yy = np.linspace(1.0, 0.0, dh, dtype=np.float32)[:, None]
+    depth = (near + (far - near) * yy) * np.ones((dh, dw), np.float32)
+    for fy, fx, fh, fw, bd in boxes:
+        y0, x0 = int(fy * dh), int(fx * dw)
+        bh, bw = max(1, int(fh * dh)), max(1, int(fw * dw))
+        depth[y0:y0 + bh, x0:x0 + bw] = np.minimum(
+            depth[y0:y0 + bh, x0:x0 + bw], bd)
+    return depth
+
+
+def _render_rgb(boxes, img_hw, depth_range, color_rng, noise_rng,
+                render_scale=4):
+    """uint8 RGB of the SAME scene: brightness encodes inverse distance,
+    boxes get colors shaded by their depth. Rendered at 1/render_scale
+    and PIL-upscaled (full-res float temporaries at 2272x1704 would
+    dominate synthesis time for no extra information content)."""
     from PIL import Image
 
-    small = rng.integers(0, 256, (*low_hw, channels), dtype=np.uint8)
-    im = Image.fromarray(small if channels == 3 else small[..., 0])
-    im = im.resize((hw[1], hw[0]), Image.BILINEAR)
-    a = np.asarray(im, np.uint8)
-    return a if channels == 3 else a[..., None]
+    h, w = (max(8, img_hw[0] // render_scale),
+            max(8, img_hw[1] // render_scale))
+    near, far = depth_range
+    yy = np.linspace(1.0, 0.0, h, dtype=np.float32)[:, None, None]
+    rgb = 0.2 + 0.5 * yy * np.ones((h, w, 3), np.float32)
+    for fy, fx, fh, fw, bd in boxes:
+        y0, x0 = int(fy * h), int(fx * w)
+        bh, bw = max(1, int(fh * h)), max(1, int(fw * w))
+        color = color_rng.uniform(0.2, 1.0, 3).astype(np.float32) * (
+            1.0 - bd / (far * 1.15))
+        rgb[y0:y0 + bh, x0:x0 + bw] = color
+    rgb += noise_rng.normal(0, 0.02, rgb.shape).astype(np.float32)
+    small = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
+    if (h, w) == tuple(img_hw):
+        return small
+    im = Image.fromarray(small).resize((img_hw[1], img_hw[0]),
+                                       Image.BILINEAR)
+    return np.asarray(im, np.uint8)
 
 
-def _jpeg_bytes(rng) -> bytes:
+def _jpeg_bytes(boxes, rng, depth_range) -> bytes:
     from PIL import Image
 
     w, h = MAKE3D_IMG_WH
-    arr = _smooth_u8(rng, (h, w))
+    arr = _render_rgb(boxes, (h, w), depth_range, rng, rng)
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, "JPEG", quality=90)
     return buf.getvalue()
 
 
-def _depth_mat_bytes(rng, transposed: bool) -> bytes:
+MAKE3D_DEPTH_RANGE = (2.0, 80.0)  # gradient tops out past the 70 m cap,
+# so the loader/loss far-plane masking is genuinely exercised
+
+
+def _depth_mat_bytes(boxes, transposed: bool) -> bytes:
     import scipy.io
 
+    # canonical orientation (305, 55) = (H, W), per data/make3d.py
+    d = _render_depth(boxes, (305, 55), MAKE3D_DEPTH_RANGE)
     grid = np.zeros((305, 55, 4) if transposed else (55, 305, 4), np.float64)
-    d = rng.uniform(1.0, 80.0, grid.shape[:2])  # raw laser range, pre-cap
-    grid[..., 3] = d
+    grid[..., 3] = d if transposed else d.T
     buf = io.BytesIO()
     scipy.io.savemat(buf, {"Position3DGrid": grid})
     return buf.getvalue()
@@ -87,34 +147,42 @@ def _add_bytes(tf: tarfile.TarFile, name: str, data: bytes) -> None:
 
 def synth_make3d(data_dir: str, n_train: int = 400, n_test: int = 134,
                  seed: int = 11) -> None:
-    """Write the four Make3D archives under <data_dir>/make3d/."""
+    """Write the four Make3D archives under <data_dir>/make3d/.
+
+    Image and depth archives of a split are generated in ONE pass from
+    shared per-example geometry (r5): `img-train0007.jpg` renders the
+    same scene `depth_sph_corr-train0007.mat` measures."""
     base = os.path.join(data_dir, "make3d")
     os.makedirs(base, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    specs = [
-        ("Train400Img.tar.gz", "Train400Img", "img-train{:04d}.jpg",
-         n_train, "jpg", False),
-        ("Train400Depth.tgz", "Train400Depth",
-         "depth_sph_corr-train{:04d}.mat", n_train, "mat", False),
-        ("Test134.tar.gz", "Test134", "img-test{:04d}.jpg",
-         n_test, "jpg", False),
-        ("Test134Depth.tar.gz", "Gridlaserdata",
-         "depth_sph_corr-test{:04d}.mat", n_test, "mat", True),
+    splits = [
+        ("train", n_train, "Train400Img.tar.gz", "Train400Img",
+         "Train400Depth.tgz", "Train400Depth", False),
+        ("test", n_test, "Test134.tar.gz", "Test134",
+         "Test134Depth.tar.gz", "Gridlaserdata", True),
     ]
-    for arch, sub, pat, n, kind, transposed in specs:
-        path = os.path.join(base, arch)
-        if os.path.exists(path):
-            print(f"  {arch}: exists, skipping")
+    for k, (split, n, img_arch, img_sub, dep_arch, dep_sub,
+            transposed) in enumerate(splits):
+        img_path = os.path.join(base, img_arch)
+        dep_path = os.path.join(base, dep_arch)
+        if os.path.exists(img_path) and os.path.exists(dep_path):
+            print(f"  {img_arch} + {dep_arch}: exist, skipping")
             continue
         t0 = time.perf_counter()
-        with tarfile.open(path + ".part", "w:gz", compresslevel=1) as tf:
+        with tarfile.open(img_path + ".part", "w:gz", compresslevel=1) \
+                as tfi, tarfile.open(dep_path + ".part", "w:gz",
+                                     compresslevel=1) as tfd:
             for i in range(n):
-                data = (_jpeg_bytes(rng) if kind == "jpg"
-                        else _depth_mat_bytes(rng, transposed))
-                _add_bytes(tf, f"{sub}/{pat.format(i)}", data)
-        os.replace(path + ".part", path)
-        mb = os.path.getsize(path) / 1e6
-        print(f"  {arch}: {n} files, {mb:.0f} MB, "
+                rng = np.random.default_rng((seed, k, i))
+                boxes = _scene_boxes(rng, MAKE3D_DEPTH_RANGE)
+                _add_bytes(tfi, f"{img_sub}/img-{split}{i:04d}.jpg",
+                           _jpeg_bytes(boxes, rng, MAKE3D_DEPTH_RANGE))
+                _add_bytes(tfd,
+                           f"{dep_sub}/depth_sph_corr-{split}{i:04d}.mat",
+                           _depth_mat_bytes(boxes, transposed))
+        os.replace(img_path + ".part", img_path)
+        os.replace(dep_path + ".part", dep_path)
+        mb = (os.path.getsize(img_path) + os.path.getsize(dep_path)) / 1e6
+        print(f"  {img_arch} + {dep_arch}: {n} scenes, {mb:.0f} MB, "
               f"{time.perf_counter() - t0:.0f}s")
 
 
@@ -129,7 +197,7 @@ def synth_nyu(data_dir: str, n: int = 1449, seed: int = 12,
     if os.path.exists(path):
         print("  nyu_depth_v2_labeled.mat: exists, skipping")
         return
-    rng = np.random.default_rng(seed)
+    NYU_DEPTH_RANGE = (0.7, 10.0)  # Kinect indoor working range
     H, W = NYU_HW
     t0 = time.perf_counter()
     tmp = path + ".part"
@@ -142,11 +210,27 @@ def synth_nyu(data_dir: str, n: int = 1449, seed: int = 12,
                                 dtype=np.float32, chunks=(1, W, H))
         # One frame at a time: peak RAM stays ~one example, the write
         # pattern real converters use for the 2.8 GB original.
+        # Frames within a scene share geometry (one geom_rng per scene)
+        # with per-frame viewpoint jitter — consecutive frames are
+        # CORRELATED, which is what makes scene-based splits meaningful.
         for i in range(n):
-            img_hw3 = _smooth_u8(rng, (H, W))           # (H, W, 3)
+            scene_id = i // frames_per_scene
+            geom_rng = np.random.default_rng((seed, scene_id))
+            frame_rng = np.random.default_rng((seed, scene_id, i))
+            boxes = _scene_boxes(geom_rng, NYU_DEPTH_RANGE, n_min=2,
+                                 n_max=5)
+            boxes = [(min(max(fy + frame_rng.uniform(-0.03, 0.03), 0.0),
+                          0.9),
+                      min(max(fx + frame_rng.uniform(-0.03, 0.03), 0.0),
+                          0.9), fh, fw, bd)
+                     for fy, fx, fh, fw, bd in boxes]
+            # colors must be the scene's, not the frame's: re-derive from
+            # a fork of the scene rng so every frame paints boxes alike
+            color_rng = np.random.default_rng((seed, scene_id, 7))
+            img_hw3 = _render_rgb(boxes, (H, W), NYU_DEPTH_RANGE,
+                                  color_rng, frame_rng, render_scale=2)
             imgs[i] = img_hw3.transpose(2, 1, 0)        # -> (3, W, H)
-            d = _smooth_u8(rng, (H, W), channels=1)[..., 0]
-            deps[i] = (0.7 + d.astype(np.float32) / 255.0 * 9.3).T  # (W, H)
+            deps[i] = _render_depth(boxes, (H, W), NYU_DEPTH_RANGE).T
         scene_names = [
             f"scene_{i // frames_per_scene:04d}" for i in range(n)]
         refs = []
