@@ -104,6 +104,20 @@ def _common_flags(p):
                         "'auto' calibrates E from one measured window "
                         "staging + one training pass (logged; pin the "
                         "printed value for reproducible resumes)")
+    p.add_argument("--synth-n", type=int, metavar="N",
+                   help="synthetic dataset: train-split example count "
+                        "(default 64; the benchmarks' convergence "
+                        "protocol uses 512)")
+    p.add_argument("--synth-test-n", type=int, metavar="N",
+                   help="synthetic dataset: test-split example count "
+                        "(default 64)")
+    p.add_argument("--synth-hw", type=int, nargs=2, metavar=("H", "W"),
+                   help="synthetic dataset: raw RGB shape (default 96 "
+                        "128; the convergence protocol uses 360 480)")
+    p.add_argument("--synth-depth-hw", type=int, nargs=2,
+                   metavar=("H", "W"),
+                   help="synthetic dataset: raw depth-grid shape "
+                        "(default 48 64; the protocol uses 180 240)")
     p.add_argument("--ckpt-step", type=int, metavar="N",
                    help="use the checkpoint saved at step N instead of "
                         "the latest (eval/infer/live/export/serve; "
@@ -177,6 +191,14 @@ def _resolve(args) -> cfglib.Config:
         data["cache_window_mb"] = args.cache_window_mb
     if getattr(args, "window_epochs", None) is not None:
         data["window_epochs"] = args.window_epochs
+    if getattr(args, "synth_n", None) is not None:
+        data["synth_n"] = args.synth_n
+    if getattr(args, "synth_test_n", None) is not None:
+        data["synth_test_n"] = args.synth_test_n
+    if getattr(args, "synth_hw", None) is not None:
+        data["synth_img_hw"] = tuple(args.synth_hw)
+    if getattr(args, "synth_depth_hw", None) is not None:
+        data["synth_depth_hw"] = tuple(args.synth_depth_hw)
     if getattr(args, "num_workers", None):
         data["use_grain"] = True
         data["num_workers"] = args.num_workers

@@ -50,6 +50,16 @@ class DataConfig:
     # the factor from one measured window staging + one training pass
     # (streaming_pool.calibrate_window_epochs; CLI `--window-epochs auto`).
     window_epochs: int = 1
+    # Synthetic-dataset geometry (datasets=("synthetic",) only): train
+    # split size and raw shapes; the test split is synth_test_n examples
+    # at the same shapes with a disjoint seed. Defaults are the tiny
+    # smoke set; the benchmarks' convergence protocol (BASELINE.md) is
+    # `--synth-n 512 --synth-hw 360 480 --synth-depth-hw 180 240` — the
+    # product-path CLI can reproduce the harness protocol exactly (r5).
+    synth_n: int = 64
+    synth_test_n: int = 64
+    synth_img_hw: Tuple[int, int] = (96, 128)
+    synth_depth_hw: Tuple[int, int] = (48, 64)
 
 
 @dataclasses.dataclass(frozen=True)

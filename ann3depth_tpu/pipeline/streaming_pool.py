@@ -57,7 +57,7 @@ log = logging.getLogger(__name__)
 
 
 def pick_window_epochs(t_stage, t_train, batches_per_window,
-                       steps_per_dispatch=1, max_epochs=256):
+                       steps_per_dispatch=1, max_epochs=64):
     """The echo factor that hides window staging behind training.
 
     With `t_stage` = one window's staging wall time and `t_train` = one
@@ -65,9 +65,15 @@ def pick_window_epochs(t_stage, t_train, batches_per_window,
     iff `E * t_train >= t_stage` (module docstring). Returns the smallest
     such E, rounded UP so the window's step count (batches_per_window * E)
     stays a multiple of the scanned-dispatch block (a scanned block must
-    not span windows — `index_blocks`), clamped to `max_epochs` (beyond
-    which the quality cost of echoing outweighs a still-starved link —
-    benchmarks/exp_echo_quality.py prices the quality side)."""
+    not span windows — `index_blocks`), clamped to `max_epochs`.
+
+    The clamp default is the measured quality boundary
+    (benchmarks/exp_echo_quality.py, matched 4000-step budget, r4+r5):
+    E<=16 is quality-free (+-1.1% eval RMSE vs iid), E=32/64 cost
+    +4.7%/+3.1%, E=128 costs +12.2% — so auto stops at 64, where the
+    cost is priced and modest; a deliberately larger factor (accepting
+    the measured cost for a slower link) needs an explicit
+    --window-epochs."""
     import math
 
     if t_stage < 0 or t_train < 0:
@@ -95,7 +101,7 @@ def pick_window_epochs(t_stage, t_train, batches_per_window,
 
 
 def calibrate_window_epochs(dataset, batch_size, mesh, *, window_bytes,
-                            run_pass, steps_per_dispatch=1, max_epochs=256,
+                            run_pass, steps_per_dispatch=1, max_epochs=64,
                             seed=0, byte_budget=DEFAULT_BYTE_BUDGET):
     """Measure one window's staging time and one training pass over it,
     return `pick_window_epochs` of the two (the `--window-epochs auto`

@@ -35,7 +35,12 @@ def build_dataset(cfg: Config, split="train", name=None):
     name = name or cfg.data.datasets[0]
     if name == "synthetic":
         from ann3depth_tpu.data.synthetic import SyntheticDepthDataset
-        return SyntheticDepthDataset(seed=0 if split == "train" else 1)
+        train = split == "train"
+        return SyntheticDepthDataset(
+            n=cfg.data.synth_n if train else cfg.data.synth_test_n,
+            img_hw=tuple(cfg.data.synth_img_hw),
+            depth_hw=tuple(cfg.data.synth_depth_hw),
+            seed=0 if train else 1)
 
     from ann3depth_tpu.data import records
     index = records.find_index(

@@ -97,3 +97,23 @@ def test_infer_requires_image_or_video():
     cli.build_parser().parse_args(["infer"])
     with pytest.raises(SystemExit, match="exactly one"):
         cli.main(["infer", "--config", "smoke"])
+
+
+def test_synth_protocol_flags_resolve():
+    """--synth-n/--synth-hw/--synth-depth-hw (r5): the CLI can reproduce
+    the benchmarks' convergence protocol geometry exactly."""
+    cfg = _resolve(["train", "--config", "encdec-w2-best",
+                    "--datasets", "synthetic", "--synth-n", "512",
+                    "--synth-hw", "360", "480",
+                    "--synth-depth-hw", "180", "240"])
+    assert cfg.data.datasets == ("synthetic",)
+    assert cfg.data.synth_n == 512 and cfg.data.synth_test_n == 64
+    assert cfg.data.synth_img_hw == (360, 480)
+    assert cfg.data.synth_depth_hw == (180, 240)
+
+    from ann3depth_tpu.train import loop as looplib
+    tr = looplib.build_dataset(cfg, "train")
+    te = looplib.build_dataset(cfg, "test")
+    assert len(tr) == 512 and len(te) == 64
+    assert tr[0][0].shape == (360, 480, 3) and tr[0][1].shape == (180, 240)
+    assert tr.seed == 0 and te.seed == 1
