@@ -223,7 +223,8 @@ def _resolve(args) -> cfglib.Config:
     if getattr(args, "profile_steps", None):
         train["profile_steps"] = args.profile_steps
     if getattr(args, "tensorboard", False): train["tensorboard"] = True
-    if getattr(args, "augment", False): data["augment"] = True
+    if getattr(args, "augment", None) is not None:
+        data["augment"] = args.augment
     live = {}
     if getattr(args, "smooth", None) is not None:
         live["smooth"] = args.smooth
@@ -251,7 +252,11 @@ def build_parser():
                     help="resume from the checkpoint at step N instead of "
                          "the latest (rollback; implies --resume and "
                          "DELETES checkpoints newer than N)")
-    pt.add_argument("--augment", action="store_true")
+    pt.add_argument("--augment", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="fused flip/crop-zoom/photometric augmentation; "
+                         "--no-augment disables a preset's default (e.g. "
+                         "the nyu-encdec-aug ablation arm)")
     pt.add_argument("--steps-per-dispatch", type=int, metavar="K",
                     help="fold K train steps into one scanned device "
                          "program per dispatch (requires --cache-device; "

@@ -117,3 +117,13 @@ def test_synth_protocol_flags_resolve():
     assert len(tr) == 512 and len(te) == 64
     assert tr[0][0].shape == (360, 480, 3) and tr[0][1].shape == (180, 240)
     assert tr.seed == 0 and te.seed == 1
+
+
+def test_no_augment_disables_preset_default():
+    """--no-augment (r5): ablation arms can turn a preset's augmentation
+    off; bare --augment still turns it on; absent leaves the preset."""
+    assert _resolve(["train", "--config", "nyu-encdec-aug"]).data.augment
+    assert not _resolve(["train", "--config", "nyu-encdec-aug",
+                         "--no-augment"]).data.augment
+    assert _resolve(["train", "--config", "make3d-encdec",
+                     "--augment"]).data.augment
