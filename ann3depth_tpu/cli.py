@@ -349,6 +349,16 @@ def build_parser():
                          "standard scale-ambiguous monocular-depth "
                          "protocol, Zhou et al. 2017) — reports depth "
                          "structure with global scale factored out")
+    pe.add_argument("--protocols", metavar="P1,P2,...",
+                    help="score several protocol variants in one run, "
+                         "sharing the restored checkpoint and (with "
+                         "--cache-device) ONE staged test pool: tokens "
+                         "are 'plain' or '+'-joined subsets of "
+                         "tta|align|crop (e.g. plain,tta,tta+align+crop);"
+                         " --tta/--align/--crop supply the component "
+                         "values (defaults flip/median/eigen). Prints "
+                         "{token: metrics}. Exclusive with --report-dir "
+                         "and multi-dataset configs")
     pe.add_argument("--crop", choices=["eigen", "garg"], default="",
                     help="literature eval crop: compute metrics only "
                          "inside the Eigen et al. 2014 / Garg et al. 2016 "
@@ -593,6 +603,24 @@ def main(argv=None):
                       report_worst=args.report_worst, tta=args.tta,
                       align=args.align, crop=args.crop)
         names = list(dict.fromkeys(cfg.data.datasets))  # dedupe, keep order
+        if args.protocols:
+            if len(names) > 1:
+                raise SystemExit("--protocols is single-dataset (per-"
+                                 "dataset protocol grids would nest two "
+                                 "dicts; eval each dataset separately)")
+            if args.report_dir:
+                raise SystemExit("--protocols and --report-dir are "
+                                 "exclusive (one report per variant would "
+                                 "be ambiguous; run a plain eval "
+                                 "--report-dir for attribution)")
+            metrics = loop.evaluate_protocols(
+                cfg, [t for t in args.protocols.split(",") if t],
+                use_ema=args.ema, ckpt_step=args.ckpt_step,
+                avg_last=args.avg_last, max_batches=args.max_batches,
+                tta=args.tta or "flip", align=args.align or "median",
+                crop=args.crop or "eigen")
+            print(json.dumps(metrics))
+            return 0
         if len(names) > 1:
             # Per-dataset metrics for multi-dataset configs (a model
             # trained on interleaved make3d+nyu evals each split on its
@@ -600,22 +628,12 @@ def main(argv=None):
             # Restore the checkpoint ONCE and share the state across
             # datasets — per-dataset restores would redo model init +
             # orbax deserialize + H2D of the param tree N times.
-            from ann3depth_tpu.train.checkpoint import CheckpointManager
-            state = loop.create_state(cfg)
-            ckpt = CheckpointManager(cfg.train.ckpt_dir)
-            if args.avg_last:
-                if args.ckpt_step is not None:
-                    raise SystemExit("--avg-last and --ckpt-step are "
-                                     "exclusive")
-                state, restored = ckpt.restore_avg_params(
-                    state, args.avg_last, use_ema=args.ema)
-            else:
-                state, restored = ckpt.restore_params(state,
-                                                      use_ema=args.ema,
-                                                      step=args.ckpt_step)
-            ckpt.close()
-            if restored is None:
-                raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
+            try:
+                state = loop.restore_state_for_eval(
+                    cfg, use_ema=args.ema, ckpt_step=args.ckpt_step,
+                    avg_last=args.avg_last)
+            except ValueError as e:
+                raise SystemExit(str(e))
             metrics = {}
             for n in names:
                 rd = (os.path.join(args.report_dir, n)

@@ -1030,6 +1030,98 @@ def evaluate(cfg: Config, state=None, dataset=None, max_batches=None,
     return metrics
 
 
+def restore_state_for_eval(cfg: Config, use_ema=False, ckpt_step=None,
+                           avg_last=None):
+    """Build a state and restore params ONCE for eval-family consumers
+    (shared by multi-dataset and multi-protocol eval so N scorings don't
+    redo model init + orbax deserialize + param H2D N times)."""
+    state = create_state(cfg)
+    ckpt = CheckpointManager(cfg.train.ckpt_dir)
+    try:
+        if avg_last:
+            if ckpt_step is not None:
+                raise ValueError("avg_last and ckpt_step are exclusive "
+                                 "(the average spans the last k saves)")
+            state, restored = ckpt.restore_avg_params(state, avg_last,
+                                                      use_ema=use_ema)
+        else:
+            state, restored = ckpt.restore_params(state, use_ema=use_ema,
+                                                  step=ckpt_step)
+    finally:
+        ckpt.close()
+    if restored is None:
+        raise RuntimeError(f"no checkpoint in {cfg.train.ckpt_dir}")
+    return state
+
+
+def evaluate_protocols(cfg: Config, protocols, *, state=None, use_ema=False,
+                       ckpt_step=None, avg_last=None, max_batches=None,
+                       tta="flip", align="median", crop="eigen",
+                       dataset=None, mesh=None):
+    """Score several eval-protocol variants in ONE invocation, sharing the
+    restored checkpoint and (cache-device runs) ONE staged test pool
+    across all of them (r5: the NYU lever study paid a 1.56 GB test-pool
+    staging per `eval` invocation through the tunnel — three protocol
+    variants cost three stagings; this costs one).
+
+    protocols: tokens — 'plain', or '+'-joined subsets of
+    {'tta','align','crop'} (e.g. 'tta', 'tta+align+crop'); the
+    tta/align/crop arguments supply each component's value when present.
+    Returns {token: metrics dict}. Single-process; report_dir is not
+    supported (one report per variant would be ambiguous — run a plain
+    `eval --report-dir` for attribution)."""
+    if jax.process_count() > 1:
+        raise ValueError("evaluate_protocols is single-process (its point "
+                         "is staging the pool once; use plain evaluate "
+                         "under --multihost)")
+    if not protocols:
+        raise ValueError("protocols must be a non-empty list of tokens")
+    parsed = {}
+    for token in protocols:
+        parts = frozenset() if token == "plain" else frozenset(
+            token.split("+"))
+        unknown = parts - {"tta", "align", "crop"}
+        if unknown:
+            raise ValueError(
+                f"unknown protocol component(s) {sorted(unknown)} in "
+                f"{token!r}; tokens are 'plain' or '+'-joined subsets of "
+                "tta|align|crop")
+        parsed[token] = parts
+    dataset = dataset or build_dataset(cfg, "test")
+    if mesh is None:
+        mesh = meshlib.auto_data_mesh(cfg.train.batch_size)
+    if state is None:
+        state = restore_state_for_eval(cfg, use_ema=use_ema,
+                                       ckpt_step=ckpt_step,
+                                       avg_last=avg_last)
+    pool = n_b = None
+    if cfg.data.cache_device:
+        from ann3depth_tpu.pipeline.device_cache import DevicePoolSampler
+        try:
+            pool = DevicePoolSampler(dataset, cfg.train.batch_size, mesh,
+                                     steps=0, seed=0)
+            n_b = pool.shard // pool.per_dev
+            if max_batches is not None:
+                n_b = min(n_b, max_batches)
+        except ValueError as e:
+            log.info("protocol eval uses the host feed (%s)", e)
+            pool = None
+    try:
+        out = {}
+        for token, parts in parsed.items():
+            out[token] = evaluate(
+                cfg, state=state, dataset=dataset, max_batches=max_batches,
+                mesh=mesh, stage_pool=False,
+                tta=tta if "tta" in parts else "",
+                align=align if "align" in parts else "",
+                crop=crop if "crop" in parts else "",
+                device_batches=(pool.fixed_batches(n_b) if pool else None))
+    finally:
+        if pool is not None:
+            pool.close()
+    return out
+
+
 def _write_eval_report(report_dir, rows, worst, metrics):
     """per_image.jsonl + worst.png triple grid + summary.json."""
     import json

@@ -98,3 +98,62 @@ def test_dp_eval_matches_single_device(cpu_mesh):
     for k in m1:
         assert abs(m1[k] - m8[k]) <= 1e-4 * max(1.0, abs(m1[k])), (
             k, m1[k], m8[k])
+
+
+def test_evaluate_protocols_matches_individual_runs(tmp_path):
+    """--protocols (r5): one invocation scoring several protocol variants
+    equals the separate-invocation results, off one restored state (and
+    one staged pool under cache-device)."""
+    import dataclasses
+
+    import numpy as np
+    import pytest
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, input_hw=(48, 64)),
+        train=dataclasses.replace(cfg.train, batch_size=4,
+                                  ckpt_dir=str(tmp_path / "c")))
+    state = looplib.create_state(cfg)
+    grid = looplib.evaluate_protocols(
+        cfg, ["plain", "tta", "tta+align+crop"], state=state,
+        max_batches=2)
+    assert set(grid) == {"plain", "tta", "tta+align+crop"}
+    plain = looplib.evaluate(cfg, state=state, max_batches=2)
+    tta = looplib.evaluate(cfg, state=state, max_batches=2, tta="flip")
+    full = looplib.evaluate(cfg, state=state, max_batches=2, tta="flip",
+                            align="median", crop="eigen")
+    for tok, want in (("plain", plain), ("tta", tta),
+                      ("tta+align+crop", full)):
+        for k in want:
+            assert grid[tok][k] == pytest.approx(want[k], rel=1e-5), \
+                (tok, k)
+    assert grid["plain"]["rmse"] != pytest.approx(grid["tta"]["rmse"])
+    with pytest.raises(ValueError, match="unknown protocol"):
+        looplib.evaluate_protocols(cfg, ["tta+bogus"], state=state)
+    with pytest.raises(ValueError, match="non-empty"):
+        looplib.evaluate_protocols(cfg, [], state=state)
+
+
+def test_cli_eval_protocols(tmp_path, capsys):
+    import json
+
+    import numpy as np
+
+    from ann3depth_tpu.cli import main
+
+    rc = main(["train", "--config", "smoke", "--steps", "2",
+               "--batch-size", "2", "--ckpt-dir", str(tmp_path / "c"),
+               "--workdir", str(tmp_path / "w")])
+    assert rc == 0
+    rc = main(["eval", "--config", "smoke", "--batch-size", "2",
+               "--ckpt-dir", str(tmp_path / "c"), "--max-batches", "1",
+               "--protocols", "plain,tta"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"plain", "tta"}
+    assert all(np.isfinite(m["rmse"]) for m in out.values())
