@@ -28,9 +28,10 @@ dataset (shared across processes) and partitions it into windows — a
 window-granular global shuffle, strictly better mixing than fixed shards.
 Within a window, sampling is shard-local per echo epoch (the
 `device_cache.py` recipe). Echoing repeats examples within a window
-before the next window is seen; the quality cost of modest E is small
-(Choi et al.) and is priced on this project's convergence protocol in
-`benchmarks/exp_stream_pool.py`. The per-pass tail (`n mod window`) is
+before the next window is seen; the quality cost is priced on this
+project's convergence protocol in `benchmarks/exp_echo_quality.py`
+(E<=16 free, +4.7/+3.1% at E=32/64, +12.2% at E=128 — the measured
+clamp in `pick_window_epochs`). The per-pass tail (`n mod window`) is
 dropped, but a fresh permutation re-draws it every pass, so coverage is
 uniform in expectation.
 

@@ -12,8 +12,11 @@ which is the honest isolation (quality depends on the sampling order, not
 on which link staged the bytes).
 
 Arms: iid baseline (exp_convergence's sampler), window=128 with
-E in {1, 4, 16}. Expected per Choi et al. 2019: modest E ~ free, large E
-costs; this measures where the knee is for this model/protocol.
+E in {1, 4, 16} by default; r5 extended the ladder with E in
+{32, 64, 128} (run(echoes=...)). Measured (BASELINE.md): E<=16 is
+within the protocol's +-1.1% seed-noise band, E=32/64 cost +4.7/+3.1%
+eval RMSE, E=128 costs +12.2% — the knee that sets the auto
+calibrator's max_epochs=64 clamp (streaming_pool.pick_window_epochs).
 """
 
 from __future__ import annotations
