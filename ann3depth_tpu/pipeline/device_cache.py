@@ -95,6 +95,8 @@ def _stage_pools(dataset, n, sharding, img0, dep0, chunk_bytes):
 
     from jax.sharding import SingleDeviceSharding
 
+    import time
+
     pid = jax.process_index()
     gshape_img = (n, *img0.shape)
     gshape_dep = (n, *dep0.shape)
@@ -105,6 +107,16 @@ def _stage_pools(dataset, n, sharding, img0, dep0, chunk_bytes):
         r = idx[0]
         key = (r.start or 0, n if r.stop is None else r.stop)
         groups.setdefault(key, []).append(dev)
+
+    # Staging progress (r5): a multi-GB pool through a slow link stages
+    # for minutes with no output otherwise (observed: 9+ min for 1.56 GB
+    # on a congested tunnel). Logged at most every ~15 s, so tests and
+    # fast local links stay silent.
+    ex_bytes = img0.nbytes + dep0.nbytes
+    total_bytes = sum((stop - start) * len(devs) * ex_bytes
+                      for (start, stop), devs in groups.items())
+    done_bytes = 0
+    t0 = last_log = time.perf_counter()
 
     chunk_n = max(1, int(chunk_bytes // (img0.nbytes + dep0.nbytes)))
     upd = jax.jit(
@@ -155,6 +167,15 @@ def _stage_pools(dataset, n, sharding, img0, dep0, chunk_bytes):
                 bufs[dev] = (upd(bi, jax.device_put(ci, dev), off),
                              upd(bd, jax.device_put(cd, dev), off))
             pending = [x for pair in bufs.values() for x in pair]
+            done_bytes += (ci.nbytes + cd.nbytes) * len(devs)
+            now = time.perf_counter()
+            if now - last_log > 15.0 and done_bytes < total_bytes:
+                rate = done_bytes / max(now - t0, 1e-9)
+                log.info(
+                    "device cache: staging %.0f/%.0f MB (%.1f MB/s, "
+                    "~%.0f s left)", done_bytes / 1e6, total_bytes / 1e6,
+                    rate / 1e6, (total_bytes - done_bytes) / max(rate, 1.0))
+                last_log = now
         for dev in devs:
             bi, bd = bufs[dev]
             img_bufs.append(bi)
