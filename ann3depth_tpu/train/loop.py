@@ -451,7 +451,10 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                         "local timings and would diverge across "
                         "controllers; pass an explicit factor under "
                         "--multihost")
-                if persisted is not None and start_step > 0:
+                stale = (persisted is not None
+                         and persisted.get("cache_window_mb")
+                         != cfg.data.cache_window_mb)
+                if persisted is not None and start_step > 0 and not stale:
                     window_epochs = int(persisted["window_epochs"])
                     log.info(
                         "--window-epochs auto: reusing echo factor x%d "
@@ -459,6 +462,16 @@ def train(cfg: Config, *, workdir: Optional[str] = None, mesh=None,
                         " — recalibrating mid-run would change the "
                         "sampling stream", window_epochs, epochs_path)
                 else:
+                    if stale and start_step > 0:
+                        log.warning(
+                            "--window-epochs auto: persisted factor in %s "
+                            "was calibrated for cache_window_mb=%s, this "
+                            "run uses %d — recalibrating (the factor is a "
+                            "function of the window size; the resumed "
+                            "sampling stream changes either way when the "
+                            "window changes)", epochs_path,
+                            persisted.get("cache_window_mb"),
+                            cfg.data.cache_window_mb)
                     # Calibrate with the plain fused step on a throwaway
                     # state, passing the REAL loop's step_kwargs so the
                     # calibration pass compiles the exact program the run

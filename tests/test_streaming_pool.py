@@ -334,3 +334,43 @@ def test_window_epochs_auto_persists_and_resumes(tmp_path, cpu_mesh,
     state, _ = looplib.train(cfg3, workdir=str(tmp_path / "w"),
                              dataset=ds, progress=False)
     assert seen["window_epochs"] == 2
+
+
+def test_window_epochs_sidecar_stale_on_window_change(tmp_path, cpu_mesh,
+                                                      monkeypatch):
+    """A persisted auto factor is only valid for the window size it was
+    calibrated at: resuming with a different --cache-window-mb must
+    recalibrate (with a warning), not reuse a factor computed for
+    different staging/pass times."""
+    import json
+    import os
+
+    from ann3depth_tpu.pipeline import streaming_pool
+    from ann3depth_tpu.train import loop as looplib
+
+    ds = SyntheticDepthDataset(n=64)
+    cfg = _smoke_cfg(tmp_path, steps=8, checkpoint_every=4)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, window_epochs=0))
+    looplib.train(cfg, workdir=str(tmp_path / "w"), dataset=ds,
+                  progress=False)
+    sidecar = os.path.join(cfg.train.ckpt_dir, "window_epochs.json")
+    json.dump({"window_epochs": 7, "cache_window_mb": 2,  # != cfg's 1
+               "calibrated_at_step": 0}, open(sidecar, "w"))
+
+    called = {"n": 0}
+    real = streaming_pool.calibrate_window_epochs
+
+    def _spy_cal(*a, **k):
+        called["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(streaming_pool, "calibrate_window_epochs",
+                        _spy_cal)
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps=16, resume=True))
+    looplib.train(cfg2, workdir=str(tmp_path / "w"), dataset=ds,
+                  progress=False)
+    assert called["n"] == 1, "stale sidecar must force recalibration"
+    # and the sidecar now records THIS run's window size
+    assert json.load(open(sidecar))["cache_window_mb"] == 1
