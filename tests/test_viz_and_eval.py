@@ -157,3 +157,48 @@ def test_cli_eval_protocols(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(out) == {"plain", "tta"}
     assert all(np.isfinite(m["rmse"]) for m in out.values())
+
+
+def test_evaluate_protocols_shares_cache_device_pool(tmp_path, monkeypatch):
+    """Under cache_device, the protocol grid stages the test pool ONCE
+    and every variant gathers from it (the r5 feature's whole point);
+    values still equal the host-path results."""
+    import dataclasses
+
+    import pytest
+
+    from ann3depth_tpu.config import get_config
+    from ann3depth_tpu.pipeline import device_cache
+    from ann3depth_tpu.train import loop as looplib
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, input_hw=(48, 64),
+                                 cache_device=True),
+        train=dataclasses.replace(cfg.train, batch_size=4,
+                                  ckpt_dir=str(tmp_path / "c")))
+    state = looplib.create_state(cfg)
+
+    built = {"n": 0}
+    real = device_cache.DevicePoolSampler
+
+    def _spy(*a, **k):
+        built["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(device_cache, "DevicePoolSampler", _spy)
+    monkeypatch.setattr(
+        "ann3depth_tpu.train.loop.DevicePoolSampler", _spy, raising=False)
+    # Full split: the pool iterates per-shard, the host feed in split
+    # order — only the FULL split's order-invariant global sums are
+    # comparable across the two (evaluate's docstring note).
+    grid = looplib.evaluate_protocols(cfg, ["plain", "tta"], state=state)
+    assert built["n"] == 1, "protocol grid must stage exactly one pool"
+
+    host_cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, cache_device=False))
+    plain = looplib.evaluate(host_cfg, state=state)
+    for k in plain:
+        assert grid["plain"][k] == pytest.approx(plain[k], rel=1e-4), k
+    assert grid["tta"]["rmse"] != pytest.approx(grid["plain"]["rmse"])
